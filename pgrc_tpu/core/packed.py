@@ -1,0 +1,107 @@
+"""Packed-DNA tensor ops (device-first, numpy-compatible).
+
+Replaces the reference's SymbolsPackingFacility + PackedConstantLengthReadsSet
+(coders/SymbolsPackingFacility.cpp, readsset/PackedConstantLengthReadsSet.cpp)
+with tensor transforms:
+
+- reads live as uint8 value-code matrices [N, L] (values 0..4, see utils.dna)
+- hot kernels use a 2-bit lane packing [N, W] uint32 (16 symbols per lane,
+  earlier symbols in higher bits so lane tuples compare lexicographically)
+- mismatch counting is XOR + 2-bit-group popcount on the packed lanes
+  (the TPU equivalent of CopMEMMatcher.cpp:528-535's 64-bit XOR/popcount)
+
+All functions take/return either numpy or jax arrays (jnp ops via the array
+namespace), so the same code paths are unit-testable on CPU.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+SYMS_PER_LANE = 16  # 2 bits/symbol in a uint32 lane
+
+
+def _xp(a):
+    """Array-namespace dispatch (numpy vs jax.numpy)."""
+    if isinstance(a, np.ndarray):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def num_lanes(read_len: int) -> int:
+    return (read_len + SYMS_PER_LANE - 1) // SYMS_PER_LANE
+
+
+def pack_2bit(codes, read_len: int | None = None):
+    """[N, L] uint8 codes (ACGT only; N must be pre-mapped) -> [N, W] uint32.
+
+    Symbol j sits in lane j//16 at bit position 2*(15 - j%16); tail symbols of
+    the last lane are zero-padded, so lane-tuple comparison == lexicographic
+    string comparison.
+    """
+    xp = _xp(codes)
+    n, length = codes.shape
+    if read_len is None:
+        read_len = length
+    w = num_lanes(read_len)
+    pad = w * SYMS_PER_LANE - length
+    if pad:
+        codes = xp.concatenate([codes, xp.zeros((n, pad), dtype=codes.dtype)], axis=1)
+    c = (codes & 0x3).astype(xp.uint32).reshape(n, w, SYMS_PER_LANE)
+    shifts = xp.arange(SYMS_PER_LANE - 1, -1, -1, dtype=xp.uint32) * xp.uint32(2)
+    return (c << shifts).sum(axis=2).astype(xp.uint32)
+
+
+def unpack_2bit(lanes, read_len: int):
+    """[N, W] uint32 -> [N, L] uint8 codes (values 0..3)."""
+    xp = _xp(lanes)
+    n, w = lanes.shape
+    shifts = xp.arange(SYMS_PER_LANE - 1, -1, -1, dtype=xp.uint32) * xp.uint32(2)
+    c = (lanes[:, :, None] >> shifts) & xp.uint32(0x3)
+    return c.reshape(n, w * SYMS_PER_LANE)[:, :read_len].astype(xp.uint8)
+
+
+def mismatch_count_packed(a, b):
+    """Per-row count of differing 2-bit groups between packed lane matrices.
+
+    a, b: [..., W] uint32. Returns [...] int32.
+    """
+    xp = _xp(a)
+    x = a ^ b
+    y = (x | (x >> xp.uint32(1))) & xp.uint32(0x55555555)
+    return popcount_u32(y).sum(axis=-1).astype(xp.int32)
+
+
+def popcount_u32(x):
+    """Bit population count of uint32 (SWAR; works in numpy and jnp)."""
+    xp = _xp(x)
+    x = x - ((x >> xp.uint32(1)) & xp.uint32(0x55555555))
+    x = (x & xp.uint32(0x33333333)) + ((x >> xp.uint32(2)) & xp.uint32(0x33333333))
+    x = (x + (x >> xp.uint32(4))) & xp.uint32(0x0F0F0F0F)
+    return ((x * xp.uint32(0x01010101)) >> xp.uint32(24)).astype(xp.int32)
+
+
+def pack_text_2bit(codes_1d):
+    """1-D sequence codes -> uint32 lanes, 16 symbols/lane, zero-padded.
+
+    Layout matches pack_2bit rows; used for the pseudogenome text so read
+    windows can be verified against it lane-wise (see align/).
+    """
+    xp = _xp(codes_1d)
+    n = codes_1d.shape[0]
+    w = num_lanes(n)
+    pad = w * SYMS_PER_LANE - n
+    if pad:
+        codes_1d = xp.concatenate([codes_1d, xp.zeros((pad,), dtype=codes_1d.dtype)])
+    c = (codes_1d & 0x3).astype(xp.uint32).reshape(w, SYMS_PER_LANE)
+    shifts = xp.arange(SYMS_PER_LANE - 1, -1, -1, dtype=xp.uint32) * xp.uint32(2)
+    return (c << shifts).sum(axis=1).astype(xp.uint32)
+
+
+def revcomp_codes_matrix(codes):
+    """Reverse complement rows of an ACGTN code matrix (vector form of
+    utils/helper.cpp:388-397)."""
+    xp = _xp(codes)
+    flipped = codes[:, ::-1]
+    return xp.where(flipped <= 3, 3 - flipped, flipped).astype(codes.dtype)

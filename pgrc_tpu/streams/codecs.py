@@ -1,0 +1,164 @@
+"""Entropy codec registry (host side).
+
+Fills the role of coders/CodersLib.cpp + PropsLibrary.cpp: a uniform
+compress/uncompress interface over a coder-id byte, with a raw-store fallback
+when compression does not pay (CodersLib.cpp:315-334), a selector coder that
+probes candidates and keeps the smallest (CodersLib.cpp:176-203), and a
+compound (two-stage) coder.
+
+Backends: LZMA (python stdlib liblzma, raw LZMA1 filters with the same
+lc/lp/pb data-period tuning idea as PropsLibrary.cpp:9-58), zstd (fills the
+FSE/Huffman role), an adaptive order-0/1 range coder (streams/rangecoder.py),
+and a VarLen DNA codebook coder (streams/varlen_dna.py).
+"""
+from __future__ import annotations
+
+import lzma
+import zlib
+
+import numpy as np
+
+try:
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover
+    _zstd = None
+
+STORE = 0
+ZLIB = 1
+LZMA_CODER = 2
+ZSTD = 3
+RANGE_O0 = 4
+RANGE_O1 = 5
+VARLEN_DNA = 6
+
+# coder levels, mirroring CODER_LEVEL_FAST/NORMAL/MAX
+LEVEL_FAST = 1
+LEVEL_NORMAL = 2
+LEVEL_MAX = 3
+
+
+def _lzma_filters(level: int, period: int, dict_exp: int):
+    # lc/lp/pb tuned by the data period (element width), following the
+    # reference's LZMA_DATAPERIODCODE_* idea (coders/PropsLibrary.cpp:9-44).
+    if period <= 1:
+        lc, lp, pb = 3, 0, 0
+    elif period == 2:
+        lc, lp, pb = 1, 1, 1
+    elif period == 4:
+        lc, lp, pb = 0, 2, 2
+    else:
+        lc, lp, pb = 0, 3, 3
+    preset = {LEVEL_FAST: 3, LEVEL_NORMAL: 9, LEVEL_MAX: 9}.get(level, 9)
+    return [{
+        "id": lzma.FILTER_LZMA2,
+        "preset": preset,
+        "dict_size": 1 << dict_exp,
+        "lc": lc,
+        "lp": lp,
+        "pb": pb,
+    }]
+
+
+def lzma_compress(data: bytes, level: int = LEVEL_NORMAL, period: int = 1) -> bytes:
+    dict_exp = min(26, max(16, (len(data) - 1).bit_length()))
+    filters = _lzma_filters(level, period, dict_exp)
+    return lzma.compress(data, format=lzma.FORMAT_RAW, filters=filters)
+
+
+def lzma_decompress(data: bytes, level: int = LEVEL_NORMAL, period: int = 1,
+                    raw_len: int = 0) -> bytes:
+    dict_exp = min(26, max(16, (raw_len - 1).bit_length())) if raw_len else 26
+    filters = _lzma_filters(level, period, dict_exp)
+    return lzma.decompress(data, format=lzma.FORMAT_RAW, filters=filters)
+
+
+def zstd_compress(data: bytes, level: int = 19) -> bytes:
+    if _zstd is None:
+        return zlib.compress(data, 9)
+    return _zstd.ZstdCompressor(level=level).compress(data)
+
+
+def zstd_decompress(data: bytes, raw_len: int) -> bytes:
+    if _zstd is None:
+        return zlib.decompress(data)
+    return _zstd.ZstdDecompressor().decompress(data, max_output_size=max(raw_len, 1))
+
+
+class Codec:
+    """A concrete codec configuration (coder id + params).
+
+    params must round-trip through the 3-byte header written by the container
+    (see archive.py): we store (coder_id, p1, p2) where p1/p2 meaning is
+    per-coder (LZMA: level, period; range: order, period; varlen: codebook id).
+    """
+
+    def __init__(self, coder_id: int, p1: int = 0, p2: int = 0):
+        self.coder_id = coder_id
+        self.p1 = p1
+        self.p2 = p2
+        # For VARLEN_DNA the inner codec is fixed by the format to
+        # LZMA(level=p2 or NORMAL, period=1) so (coder_id, p1, p2) fully
+        # describes the stream — the container header has no inner field.
+
+    def compress(self, data: bytes) -> bytes:
+        if self.coder_id == STORE:
+            return data
+        if self.coder_id == ZLIB:
+            return zlib.compress(data, 9)
+        if self.coder_id == LZMA_CODER:
+            return lzma_compress(data, self.p1, self.p2)
+        if self.coder_id == ZSTD:
+            return zstd_compress(data, self.p1 or 19)
+        if self.coder_id in (RANGE_O0, RANGE_O1):
+            from . import rangecoder
+
+            order = 0 if self.coder_id == RANGE_O0 else 1
+            return rangecoder.encode(np.frombuffer(data, dtype=np.uint8), order=order,
+                                     period=self.p2 or 1)
+        if self.coder_id == VARLEN_DNA:
+            from . import varlen_dna
+
+            packed = varlen_dna.encode(data, codebook_id=self.p1)
+            inner = Codec(LZMA_CODER, self.p2 or LEVEL_NORMAL, 1)
+            return inner.compress(packed)
+        raise ValueError(f"unknown coder id {self.coder_id}")
+
+    def decompress(self, data: bytes, raw_len: int) -> bytes:
+        if self.coder_id == STORE:
+            return data
+        if self.coder_id == ZLIB:
+            return zlib.decompress(data)
+        if self.coder_id == LZMA_CODER:
+            return lzma_decompress(data, self.p1, self.p2, raw_len)
+        if self.coder_id == ZSTD:
+            return zstd_decompress(data, raw_len)
+        if self.coder_id in (RANGE_O0, RANGE_O1):
+            from . import rangecoder
+
+            order = 0 if self.coder_id == RANGE_O0 else 1
+            return rangecoder.decode(data, raw_len, order=order, period=self.p2 or 1).tobytes()
+        if self.coder_id == VARLEN_DNA:
+            from . import varlen_dna
+
+            inner = Codec(LZMA_CODER, self.p2 or LEVEL_NORMAL, 1)
+            # raw_len is the unpacked length (>= packed length), an upper
+            # bound for the inner raw stream; LZMA raw streams self-terminate.
+            packed = inner.decompress(data, raw_len)
+            return varlen_dna.decode(packed, raw_len, codebook_id=self.p1)
+        raise ValueError(f"unknown coder id {self.coder_id}")
+
+    def key(self) -> tuple:
+        return (self.coder_id, self.p1, self.p2)
+
+
+def select_best(codecs: list[Codec], data: bytes) -> tuple[Codec, bytes]:
+    """Probe-compress with each candidate and keep the smallest output
+    (the reference's selector coder, CodersLib.cpp:176-203, without the
+    prefix-probe shortcut — full probing, threaded by the caller)."""
+    best = None
+    best_out = None
+    for c in codecs:
+        out = c.compress(data)
+        if best_out is None or len(out) < len(best_out):
+            best, best_out = c, out
+    return best, best_out

@@ -1,0 +1,96 @@
+"""PGTC stream container: headers, raw-store fallback, batched compression.
+
+Mirrors the reference's per-stream header {rawLen, compLen, coderType}
+(coders/CodersLib.cpp:315-380) and the collective parallel batch compress /
+decompress (writeCompressedCollectiveParallel / readCompressedCollectiveParallel,
+CodersLib.cpp:503-641) via a thread pool (liblzma/zstd release the GIL).
+
+Stream record layout (little-endian):
+    u8 coder_id | u8 p1 | u8 p2 | varint raw_len | varint comp_len | payload
+A STORE record is emitted whenever compression does not shrink the payload.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from ..utils.varint import read_varint, write_varint
+from . import codecs
+from .codecs import Codec
+
+_MAX_WORKERS = 8
+
+
+@dataclass
+class CompressionJob:
+    """One named stream to compress (reference CompressionJob, CodersLib.h:186)."""
+
+    label: str
+    data: bytes
+    codec: Codec
+    # optional selector alternatives; the smallest result wins
+    alternatives: list[Codec] = field(default_factory=list)
+
+
+def _compress_one(job: CompressionJob) -> bytes:
+    candidates = [job.codec, *job.alternatives]
+    best_codec, best = codecs.select_best(candidates, job.data)
+    rec = bytearray()
+    if len(best) >= len(job.data):
+        best_codec, best = Codec(codecs.STORE), job.data
+    rec.append(best_codec.coder_id)
+    rec.append(best_codec.p1 & 0xFF)
+    rec.append(best_codec.p2 & 0xFF)
+    write_varint(rec, len(job.data))
+    write_varint(rec, len(best))
+    rec.extend(best)
+    return bytes(rec)
+
+
+def write_streams(out, jobs: list[CompressionJob]) -> list[int]:
+    """Compress all jobs in parallel, write records in order; returns sizes."""
+    if not jobs:
+        return []
+    with ThreadPoolExecutor(max_workers=min(_MAX_WORKERS, len(jobs))) as ex:
+        records = list(ex.map(_compress_one, jobs))
+    sizes = []
+    for rec in records:
+        out.write(rec)
+        sizes.append(len(rec))
+    return sizes
+
+
+def write_stream(out, job: CompressionJob) -> int:
+    rec = _compress_one(job)
+    out.write(rec)
+    return len(rec)
+
+
+def _read_record(buf: memoryview, pos: int) -> tuple[Codec, int, bytes, int]:
+    coder_id = buf[pos]
+    p1 = buf[pos + 1]
+    p2 = buf[pos + 2]
+    raw_len, pos = read_varint(buf, pos + 3)
+    comp_len, pos = read_varint(buf, pos)
+    payload = bytes(buf[pos : pos + comp_len])
+    return Codec(coder_id, p1, p2), raw_len, payload, pos + comp_len
+
+
+class StreamReader:
+    """Sequential reader over a PGTC buffer with threaded batch decode."""
+
+    def __init__(self, buf: bytes | memoryview, pos: int = 0):
+        self.buf = memoryview(buf)
+        self.pos = pos
+
+    def read_one(self) -> bytes:
+        codec, raw_len, payload, self.pos = _read_record(self.buf, self.pos)
+        return codec.decompress(payload, raw_len)
+
+    def read_many(self, count: int) -> list[bytes]:
+        items = []
+        for _ in range(count):
+            codec, raw_len, payload, self.pos = _read_record(self.buf, self.pos)
+            items.append((codec, raw_len, payload))
+        with ThreadPoolExecutor(max_workers=min(_MAX_WORKERS, max(count, 1))) as ex:
+            return list(ex.map(lambda t: t[0].decompress(t[2], t[1]), items))

@@ -1,0 +1,106 @@
+import io
+
+import numpy as np
+import pytest
+
+from pgrc_tpu.streams import codecs, container, rangecoder, varlen_dna
+from pgrc_tpu.streams.codecs import Codec
+from pgrc_tpu.streams.container import CompressionJob, StreamReader
+from pgrc_tpu.utils import varint
+
+
+def test_varint_scalar_roundtrip():
+    buf = bytearray()
+    vals = [0, 1, 127, 128, 300, 2**21, 2**35, 2**63]
+    for v in vals:
+        varint.write_varint(buf, v)
+    pos = 0
+    for v in vals:
+        got, pos = varint.read_varint(bytes(buf), pos)
+        assert got == v
+
+
+def test_varint_batch_roundtrip():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 2**40, size=1000, dtype=np.uint64)
+    vals[:10] = [0, 1, 127, 128, 129, 16383, 16384, 2**30, 2**39, 7]
+    enc = varint.encode_varints(vals)
+    dec = varint.decode_varints(enc, len(vals))
+    np.testing.assert_array_equal(dec, vals)
+    assert varint.varints_span(enc, len(vals)) == len(enc)
+    # scalar-compatible
+    got, pos = varint.read_varint(enc, 0)
+    assert got == int(vals[0])
+
+
+@pytest.mark.parametrize("order,period", [(0, 1), (0, 4), (1, 1), (1, 2)])
+def test_rangecoder_roundtrip(order, period):
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 8, size=2000, dtype=np.uint8)  # skewed small alphabet
+    enc = rangecoder.encode(data, order=order, period=period)
+    dec = rangecoder.decode(enc, len(data), order=order, period=period)
+    np.testing.assert_array_equal(dec, data)
+
+
+def test_rangecoder_compresses_skewed():
+    rng = np.random.default_rng(2)
+    data = rng.choice([0, 1], p=[0.95, 0.05], size=5000).astype(np.uint8)
+    enc = rangecoder.encode(data, order=0)
+    assert len(enc) < 1000  # ~0.29 bits/sym ideal; generous bound
+
+
+def test_varlen_dna_roundtrip():
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 2, 3, 4, 5, 100, 10001):
+        data = rng.choice(
+            np.arange(6, dtype=np.uint8), p=[0.24, 0.24, 0.24, 0.24, 0.02, 0.02], size=n
+        ).tobytes()
+        enc = varlen_dna.encode(data)
+        dec = varlen_dna.decode(enc, n)
+        assert dec == data
+        if n >= 100:
+            assert len(enc) < 0.45 * n  # better than 1 byte per ~2.2 symbols
+
+
+def test_codec_roundtrip_all():
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 5, size=3000, dtype=np.uint8).tobytes()
+    for codec in [
+        Codec(codecs.STORE),
+        Codec(codecs.ZLIB),
+        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 4),
+        Codec(codecs.ZSTD, 19),
+        Codec(codecs.RANGE_O0),
+        Codec(codecs.RANGE_O1),
+        Codec(codecs.VARLEN_DNA, 0),
+    ]:
+        enc = codec.compress(data)
+        dec = codec.decompress(enc, len(data))
+        assert dec == data, f"codec {codec.key()} failed"
+
+
+def test_container_roundtrip():
+    rng = np.random.default_rng(5)
+    streams = [
+        rng.integers(0, 4, size=1000, dtype=np.uint8).tobytes(),
+        b"",
+        rng.integers(0, 256, size=500, dtype=np.uint8).tobytes(),  # incompressible
+        b"A" * 10000,
+    ]
+    jobs = [
+        CompressionJob("a", streams[0], Codec(codecs.LZMA_CODER, 2, 1)),
+        CompressionJob("b", streams[1], Codec(codecs.ZSTD)),
+        CompressionJob("c", streams[2], Codec(codecs.LZMA_CODER, 2, 1)),
+        CompressionJob("d", streams[3], Codec(codecs.ZSTD), alternatives=[Codec(codecs.ZLIB)]),
+    ]
+    out = io.BytesIO()
+    sizes = container.write_streams(out, jobs)
+    assert len(sizes) == 4
+    reader = StreamReader(out.getvalue())
+    for s in streams:
+        assert reader.read_one() == s
+    # batch read
+    reader2 = StreamReader(out.getvalue())
+    got = reader2.read_many(4)
+    assert got == streams
