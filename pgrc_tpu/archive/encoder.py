@@ -1,0 +1,338 @@
+"""PGTC encoder chain — the 7-stage pipeline.
+
+Mirrors PgRCEncoder::executePgRCChain (pgrc/pgrc-encoder.cpp:108-252):
+  1. quality-based division (hq / lq / N)
+  2. pg-generator-based division (both-sides-overlapped filter on hq)
+  3. HQ pseudogenome generation (greedy SCS on device)
+  4. LQ(+N) reads mapping onto the HQ pg (device matcher), entry export
+  5. LQ pg and N pg generation from unmatched reads
+  6. order information (PE pair offsets / ORD positions)
+  7. pg sequence compression (VarLenDNA + LZMA; pg-vs-pg matching of
+     SimplePgMatcher lands here)
+
+Coordinate convention (differs from the reference, see DESIGN.md): rev-comp
+flags and mismatches are stored in FINAL-OUTPUT read coordinates, so the
+decoder never re-flips flags for the pair file (the reference instead runs
+applyRevComplPairFileToPgs at decode, pgrc-decoder.cpp:697-721).
+"""
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import ARCHIVE_MAGIC
+from ..align import matcher as align_matcher
+from ..config import PgRCParams, MODE_SE, MODE_PE, MODE_ORD_SE, MODE_ORD_PE, MODE_MIN_PE, matching_chars_correction
+from ..core import fastq, packed
+from ..overlap import greedy_scs
+from ..pg.reconstruct import extract_mismatches
+from ..streams import codecs
+from ..streams.codecs import Codec
+from ..streams.container import CompressionJob, write_streams
+from ..utils import dna
+from ..utils.varint import write_varint
+from . import order as order_enc
+from . import pgseq
+
+
+@dataclass
+class EncodeStats:
+    reads_total: int = 0
+    read_len: int = 0
+    hq_count: int = 0
+    lq_count: int = 0
+    n_count: int = 0
+    matched_count: int = 0
+    hq_pg_len: int = 0
+    lq_pg_len: int = 0
+    n_pg_len: int = 0
+    archive_bytes: int = 0
+    stage_times: dict = None
+
+
+def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
+    import time
+
+    t = {}
+    t0 = time.time()
+    params.resolve()
+    stats = EncodeStats(stage_times=t)
+
+    # ---- input ----
+    if params.pair_fastq:
+        reads = fastq.read_paired(params.src_fastq, params.pair_fastq, params.revcomp_pair_file)
+    else:
+        reads = fastq.read_any(params.src_fastq)
+    params.read_len = reads.read_len
+    L = reads.read_len
+    if L > 255:
+        raise ValueError("constant-length reads up to 255 bp supported (reference parity)")
+    n_total = reads.count
+    stats.reads_total, stats.read_len = n_total, L
+    t["input"] = time.time() - t0
+
+    # ---- stage 1: quality division ----
+    t0 = time.time()
+    hq_mask = fastq.quality_high_mask(
+        reads, params.error_limit_promils / 1000.0, params.simplified_suffix_mode
+    )
+    n_mask = fastq.contains_n_mask(reads)
+    if params.separate_n_reads:
+        n_idx = np.nonzero(n_mask)[0]
+        lq_idx = np.nonzero(~n_mask & ~hq_mask)[0]
+        hq_idx = np.nonzero(~n_mask & hq_mask)[0]
+    else:
+        # N reads always go to LQ (reference nReadsLQ / !separateNReads path)
+        n_idx = np.zeros(0, dtype=np.int64)
+        lq_idx = np.nonzero(n_mask | ~hq_mask)[0]
+        hq_idx = np.nonzero(~n_mask & hq_mask)[0]
+    codes = reads.codes
+    t["div"] = time.time() - t0
+
+    # ---- stage 2: generator-based division ----
+    t0 = time.time()
+    if params.gen_quality_coef > 0 and hq_idx.size > 1:
+        res = greedy_scs.find_overlaps(codes[hq_idx], coef=params.gen_quality_coef)
+        keep = greedy_scs.both_sides_overlapped(res)
+        lq_idx = np.concatenate([lq_idx, hq_idx[~keep]])
+        lq_idx.sort()
+        hq_idx = hq_idx[keep]
+    t["pgdiv"] = time.time() - t0
+
+    # ---- stage 3: HQ pg generation ----
+    t0 = time.time()
+    hq_pg, hq_order, hq_pos = greedy_scs.generate_pseudogenome(codes[hq_idx])
+    hq_org = hq_idx[hq_order] if hq_idx.size else np.zeros(0, dtype=np.int64)
+    t["good"] = time.time() - t0
+
+    # ---- stage 4: map LQ (and N) reads onto HQ pg ----
+    t0 = time.time()
+    cand_idx = np.concatenate([lq_idx, n_idx]) if params.separate_n_reads else lq_idx
+    n_begin = lq_idx.size
+    if cand_idx.size and hq_pg.size >= L:
+        k = params.seed_k + matching_chars_correction(len(hq_pg))
+        k = min(k, L)
+        cand_codes = codes[cand_idx]
+        has_n = (cand_codes == dna.N).any(axis=1)
+        index = align_matcher.build_index(hq_pg, k=k, bits=_index_bits(len(hq_pg)))
+        mres = align_matcher.match_reads(
+            cand_codes, index, hq_pg,
+            max_mismatches=L // params.min_chars_per_mismatch,
+            cap=params.match_cap,
+        )
+        # v1 gap: reads containing N skip matching (see DESIGN.md)
+        mres.pos[has_n] = -1
+        mres.mis[has_n] = 255
+        matched = mres.pos >= 0
+    else:
+        matched = np.zeros(cand_idx.size, dtype=bool)
+        mres = align_matcher.MatchResult(
+            np.full(cand_idx.size, -1, np.int64),
+            np.zeros(cand_idx.size, bool),
+            np.full(cand_idx.size, 255, np.uint8),
+        )
+    stats.matched_count = int(matched.sum())
+
+    # build combined hq reads-list entries: base reads + matched reads
+    m_org = cand_idx[matched]
+    m_pos = mres.pos[matched]
+    m_rc_stored = mres.rc[matched]
+    # final-output coordinates: pair-file reads are un-revcomped on output
+    if params.revcomp_pair_file:
+        odd = (m_org & 1) == 1
+        m_rc_out = m_rc_stored ^ odd
+    else:
+        m_rc_out = m_rc_stored.copy()
+    # target read in final-output orientation
+    m_codes_out = codes[m_org].copy()
+    if params.revcomp_pair_file and m_org.size:
+        odd_rows = (m_org & 1) == 1
+        m_codes_out[odd_rows] = packed.revcomp_codes_matrix(m_codes_out[odd_rows])
+    # window in decoder orientation
+    if m_pos.size:
+        win = hq_pg[m_pos[:, None] + np.arange(L, dtype=np.int64)[None, :]].copy()
+        if m_rc_out.any():
+            win[m_rc_out] = packed.revcomp_codes_matrix(win[m_rc_out])
+        m_cnt, m_sym, m_off = extract_mismatches(
+            m_codes_out, win, L // params.min_chars_per_mismatch
+        )
+    else:
+        m_cnt = np.zeros(0, np.uint8)
+        m_sym = np.zeros(0, np.uint8)
+        m_off = np.zeros(0, np.uint8)
+
+    # merge base + matched entries
+    base_cnt = hq_org.size
+    all_pos = np.concatenate([hq_pos, m_pos])
+    all_org = np.concatenate([hq_org, m_org])
+    all_rc = np.concatenate([np.zeros(base_cnt, bool), m_rc_out])
+    all_mis_cnt = np.concatenate([np.zeros(base_cnt, np.uint8), m_cnt])
+    is_base = np.concatenate([np.ones(base_cnt, np.uint8), np.zeros(m_org.size, np.uint8)])
+    perm = np.lexsort((is_base, all_pos))  # matched before base at equal pos
+    hq_entries = dict(
+        pos=all_pos[perm], org=all_org[perm], rc=all_rc[perm], mis_cnt=all_mis_cnt[perm]
+    )
+    # reorder flat mismatch streams to entry order (base rows contribute 0)
+    mis_src_cum = np.zeros(base_cnt + m_org.size + 1, dtype=np.int64)
+    np.cumsum(np.concatenate([np.zeros(base_cnt, np.uint8), m_cnt]), out=mis_src_cum[1:])
+    hq_entries["mis_sym"], hq_entries["mis_off"] = _gather_flat_mismatches(
+        perm, hq_entries["mis_cnt"], mis_src_cum, m_sym, m_off
+    )
+    stats.hq_count = base_cnt + m_org.size
+    t["match"] = time.time() - t0
+
+    # ---- stage 5: LQ pg and N pg from unmatched reads ----
+    t0 = time.time()
+    unmatched = ~matched
+    lq_un = cand_idx[unmatched & (np.arange(cand_idx.size) < n_begin)]
+    n_un = cand_idx[unmatched & (np.arange(cand_idx.size) >= n_begin)]
+    lq_pg, lq_order, lq_pos = greedy_scs.generate_pseudogenome(codes[lq_un])
+    lq_org = lq_un[lq_order] if lq_un.size else np.zeros(0, dtype=np.int64)
+    n_pg, n_order, n_pos = greedy_scs.generate_pseudogenome(codes[n_un])
+    n_org = n_un[n_order] if n_un.size else np.zeros(0, dtype=np.int64)
+    stats.lq_count, stats.n_count = lq_org.size, n_org.size
+    stats.hq_pg_len, stats.lq_pg_len, stats.n_pg_len = len(hq_pg), len(lq_pg), len(n_pg)
+    t["bad"] = time.time() - t0
+
+    # ---- write archive ----
+    t0 = time.time()
+    mode = params.mode()
+    out = io.BytesIO()
+    header = bytearray()
+    header += ARCHIVE_MAGIC
+    header += bytes([1, 0, mode])
+    flags = (1 if params.separate_n_reads else 0) | (2 if params.revcomp_pair_file else 0)
+    header.append(flags)
+    write_varint(header, L)
+    write_varint(header, n_total)
+    write_varint(header, stats.hq_count)
+    write_varint(header, lq_org.size)
+    write_varint(header, n_org.size)
+    write_varint(header, len(hq_pg))
+    write_varint(header, len(lq_pg))
+    write_varint(header, len(n_pg))
+    out.write(bytes(header))
+
+    ord_mode = mode in (MODE_ORD_SE, MODE_ORD_PE)
+    if ord_mode:
+        entry_perm = np.argsort(hq_entries["org"], kind="stable")
+    else:
+        entry_perm = np.arange(stats.hq_count)
+    _write_hq_section(out, hq_entries, entry_perm, store_off=not ord_mode)
+    _write_plain_pg_section(out, lq_pos)
+    if params.separate_n_reads:
+        _write_plain_pg_section(out, n_pos)
+
+    # ---- stage 6: order info ----
+    if mode in (MODE_PE, MODE_MIN_PE):
+        joined_org = np.concatenate([hq_entries["org"], lq_org, n_org])
+        order_enc.encode_pair_order(out, joined_org, store_file_flags=(mode == MODE_PE))
+    elif ord_mode:
+        pos_by_org = np.zeros(n_total, dtype=np.int64)
+        pos_by_org[hq_entries["org"]] = hq_entries["pos"]
+        pos_by_org[lq_org] = lq_pos + len(hq_pg)
+        pos_by_org[n_org] = n_pos + len(hq_pg) + len(lq_pg)
+        if mode == MODE_ORD_PE:
+            order_enc.encode_positions_pe(out, pos_by_org)
+        else:
+            order_enc.encode_positions_se(out, pos_by_org)
+    t["order"] = time.time() - t0
+
+    # ---- stage 7: pg sequences ----
+    t0 = time.time()
+    pgseq.write_pg_sequences(
+        out, hq_pg, lq_pg, n_pg, params.target_pg_match_length, params.compression_level
+    )
+    t["pgseq"] = time.time() - t0
+
+    blob = out.getvalue()
+    stats.archive_bytes = len(blob)
+    if out_path is None:
+        out_path = params.output
+    tmp = out_path + ".temp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    import os
+
+    os.replace(tmp, out_path)
+    return stats
+
+
+def _index_bits(pg_len: int) -> int:
+    bits = max(14, min(24, (pg_len // 4).bit_length()))
+    return bits
+
+
+def _gather_flat_mismatches(perm, mis_cnt_perm, src_cum, m_sym, m_off):
+    """Reorder flat mismatch streams to the permuted entry order."""
+    if m_sym.size == 0:
+        return np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+    # for each permuted entry with mismatches, gather its src slice
+    counts = mis_cnt_perm.astype(np.int64)
+    total = int(counts.sum())
+    starts_src = src_cum[perm]
+    out_row = np.repeat(np.arange(perm.size), counts)
+    within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    src_flat = starts_src[out_row] + within
+    return m_sym[src_flat], m_off[src_flat]
+
+
+def _write_hq_section(out, entries, entry_perm, store_off: bool) -> None:
+    pos = entries["pos"][entry_perm]
+    rc = entries["rc"][entry_perm]
+    mis_cnt = entries["mis_cnt"][entry_perm]
+    src_cum = np.zeros(entries["mis_cnt"].size + 1, dtype=np.int64)
+    np.cumsum(entries["mis_cnt"], out=src_cum[1:])
+    sym, off = _gather_flat_mismatches(
+        entry_perm, mis_cnt, src_cum, entries["mis_sym"], entries["mis_off"]
+    )
+    jobs = []
+    if store_off:
+        deltas = np.empty(pos.size, dtype=np.int64)
+        if pos.size:
+            deltas[0] = pos[0]
+            deltas[1:] = pos[1:] - pos[:-1]
+        assert deltas.max(initial=0) <= 255
+        jobs.append(CompressionJob(
+            "hq off", deltas.astype(np.uint8).tobytes(),
+            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+            alternatives=[Codec(codecs.ZSTD, 19)],
+        ))
+    jobs.append(CompressionJob(
+        "hq rc", np.packbits(rc).tobytes(),
+        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+        alternatives=[Codec(codecs.ZSTD, 19)],
+    ))
+    jobs.append(CompressionJob(
+        "hq mis cnt", mis_cnt.tobytes(),
+        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+        alternatives=[Codec(codecs.ZSTD, 19)],
+    ))
+    jobs.append(CompressionJob(
+        "hq mis sym", sym.tobytes(),
+        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+        alternatives=[Codec(codecs.ZSTD, 19), Codec(codecs.RANGE_O1)]
+        if sym.size < 100_000 else [Codec(codecs.ZSTD, 19)],
+    ))
+    jobs.append(CompressionJob(
+        "hq mis off", off.tobytes(),
+        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+        alternatives=[Codec(codecs.ZSTD, 19)],
+    ))
+    write_streams(out, jobs)
+
+
+def _write_plain_pg_section(out, pos: np.ndarray) -> None:
+    """off deltas of an lq/N pg reads list (no rc, no mismatches)."""
+    deltas = np.empty(pos.size, dtype=np.int64)
+    if pos.size:
+        deltas[0] = pos[0]
+        deltas[1:] = pos[1:] - pos[:-1]
+    assert deltas.max(initial=0) <= 255
+    write_streams(out, [CompressionJob(
+        "pg off", deltas.astype(np.uint8).tobytes(),
+        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+        alternatives=[Codec(codecs.ZSTD, 19)],
+    )])

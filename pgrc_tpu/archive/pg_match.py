@@ -1,0 +1,297 @@
+"""Stage-7 pg-vs-pg exact matching (SimplePgMatcher re-design).
+
+Finds long (>= target_match_length) exact matches of the lq / N / hq-self
+pseudogenomes against the hq pg under reverse-complement matching, replaces
+them with a MARK token + (source offset, length) streams, and restores them
+on decode — the TPU-friendly equivalent of matching/SimplePgMatcher.cpp:
+69-148 (markAndRemoveExactMatches), :160-173 (self collision resolution),
+:259-351 (restore).
+
+Anchors come from the same rolling-hash CSR index as the read matcher;
+anchor pairs are extended to maximal runs with block-wise vectorized
+comparison rounds instead of per-symbol loops.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..align import matcher as align_matcher
+from ..streams import codecs
+from ..streams.codecs import Codec
+from ..streams.container import CompressionJob, StreamReader
+from ..streams.varlen_dna import MARK
+from ..utils import dna
+from ..utils.varint import encode_varints, decode_varints, write_varint, read_varint
+
+ANCHOR_K = 32
+SRC_STRIDE = 8
+DEST_STRIDE = 8
+CAP = 4
+EXTEND_BLOCK = 64
+
+
+def _find_matches(src: np.ndarray, index, query: np.ndarray, min_len: int) -> np.ndarray:
+    """Maximal exact matches (>= min_len) of query vs src via sampled anchors.
+
+    Returns [M, 3] (src_pos, query_pos, length), deduplicated.
+    """
+    nq = query.shape[0]
+    k = index.k
+    if nq < k or index.positions.size == 0:
+        return np.zeros((0, 3), dtype=np.int64)
+    qh = align_matcher._window_hashes(query, k)
+    probes = np.arange(0, nq - k + 1, DEST_STRIDE, dtype=np.int64)
+    hb = (qh[probes] >> np.uint32(32 - index.bits)).astype(np.int64)
+    lo = index.starts[hb]
+    cnt = index.starts[hb + 1] - lo
+    slot = np.arange(CAP, dtype=np.int64)
+    cand = lo[:, None] + slot[None, :]
+    valid = slot[None, :] < cnt[:, None]
+    cand = np.clip(cand, 0, max(index.positions.size - 1, 0))
+    spos = index.positions[cand]                       # [P, C]
+    qpos = np.broadcast_to(probes[:, None], spos.shape)
+    spos = spos[valid]
+    qpos = qpos[valid]
+    if spos.size == 0:
+        return np.zeros((0, 3), dtype=np.int64)
+    # confirm the anchor k-mer is a true match (hash bucket is lossy)
+    ok = np.ones(spos.size, dtype=bool)
+    for t in range(0, k, 8):
+        w = min(8, k - t)
+        ok &= (src[spos[:, None] + np.arange(t, t + w)] ==
+               query[qpos[:, None] + np.arange(t, t + w)]).all(axis=1)
+    spos, qpos = spos[ok], qpos[ok]
+    if spos.size == 0:
+        return np.zeros((0, 3), dtype=np.int64)
+    left = _extend(src, query, spos, qpos, direction=-1)
+    right = _extend(src, query, spos + ANCHOR_K, qpos + ANCHOR_K, direction=+1)
+    s0 = spos - left
+    q0 = qpos - left
+    length = left + ANCHOR_K + right
+    keep = length >= min_len
+    m = np.stack([s0[keep], q0[keep], length[keep]], axis=1)
+    if m.size == 0:
+        return m
+    m = np.unique(m, axis=0)
+    # drop matches fully contained in another with same diagonal
+    diag = m[:, 0] - m[:, 1]
+    order = np.lexsort((-m[:, 2], m[:, 1], diag))
+    m = m[order]
+    keep = np.ones(m.shape[0], dtype=bool)
+    prev_end = -1
+    prev_diag = None
+    for i in range(m.shape[0]):
+        d = m[i, 0] - m[i, 1]
+        if prev_diag == d and m[i, 1] + m[i, 2] <= prev_end:
+            keep[i] = False
+            continue
+        prev_diag = d
+        prev_end = max(prev_end if prev_diag == d else -1, m[i, 1] + m[i, 2])
+    return m[keep]
+
+
+def _extend(src, query, spos, qpos, direction: int) -> np.ndarray:
+    """Length of the maximal equal run from (spos, qpos) in `direction`
+    (exclusive of the anchor). Block-compare rounds, then a final per-symbol
+    pass inside the failing block."""
+    ns, nq = src.shape[0], query.shape[0]
+    ext = np.zeros(spos.shape[0], dtype=np.int64)
+    active = np.ones(spos.shape[0], dtype=bool)
+    while active.any():
+        ai = np.nonzero(active)[0]
+        if direction > 0:
+            s = spos[ai] + ext[ai]
+            q = qpos[ai] + ext[ai]
+            room = np.minimum(ns - s, nq - q)
+        else:
+            s = spos[ai] - ext[ai]
+            q = qpos[ai] - ext[ai]
+            room = np.minimum(s, q)
+        blk = np.minimum(room, EXTEND_BLOCK)
+        can = blk > 0
+        if not can.any():
+            active[ai] = False
+            break
+        off = np.arange(EXTEND_BLOCK, dtype=np.int64)
+        if direction > 0:
+            si = s[:, None] + off[None, :]
+            qi = q[:, None] + off[None, :]
+        else:
+            si = s[:, None] - 1 - off[None, :]
+            qi = q[:, None] - 1 - off[None, :]
+        si = np.clip(si, 0, ns - 1)
+        qi = np.clip(qi, 0, nq - 1)
+        eq = src[si] == query[qi]
+        eq &= off[None, :] < blk[:, None]
+        # first inequality position = run length in this block
+        run = np.where(eq.all(axis=1), blk, eq.argmin(axis=1))
+        run = np.minimum(run, blk)
+        ext[ai] += run
+        active[ai] = can & (run == blk) & (blk == EXTEND_BLOCK)
+    return ext
+
+
+def _mark_and_remove(
+    src: np.ndarray, index, dest: np.ndarray, min_len: int, self_match: bool
+):
+    """Replace matches of revcomp(dest) vs src with MARK tokens.
+
+    Returns (new_dest, offsets int64 array, lengths int64 array).
+    """
+    dest_len = dest.shape[0]
+    if dest_len < min_len or index.positions.size == 0:
+        return dest, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    query = dna.COMPL_VAL[dest[::-1]]  # revcomp(dest)
+    m = _find_matches(src, index, query, min_len)
+    if m.size == 0:
+        return dest, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    # convert query coords back to dest coords (reference
+    # correctDestPositionDueToRevComplMatching, SimplePgMatcher.cpp:58-61)
+    sposs = m[:, 0]
+    dpos = dest_len - (m[:, 1] + m[:, 2])
+    length = m[:, 2]
+    if self_match:
+        # canonicalize: source part must precede dest part
+        swap = sposs > dpos
+        sposs2 = np.where(swap, dpos, sposs)
+        dpos = np.where(swap, sposs, dpos)
+        sposs = sposs2
+        # trim palindromic self-overlap (src run must end before dest starts)
+        over = np.maximum(sposs + length - dpos, 0)
+        margin = (over + 1) // 2
+        length = length - margin
+        dpos = dpos + margin
+        keepm = (length >= min_len) & (sposs + length <= dpos)
+        sposs, dpos, length = sposs[keepm], dpos[keepm], length[keepm]
+    order = np.lexsort((sposs, -length, dpos))
+    sposs, dpos, length = sposs[order], dpos[order], length[order]
+    # greedy non-overlapping selection on dest, with overflow trimming
+    # (reference markAndRemoveExactMatches loop, SimplePgMatcher.cpp:104-133)
+    out_parts = []
+    offs = []
+    lens = []
+    pos = 0
+    for i in range(dpos.shape[0]):
+        d, s, ln = int(dpos[i]), int(sposs[i]), int(length[i])
+        if d < pos:
+            overflow = pos - d
+            if overflow >= ln:
+                continue
+            d += overflow
+            ln -= overflow
+            # revcomp matching: trimming the dest head trims the src TAIL
+            if ln < min_len or (self_match and s + ln > d):
+                continue
+        if ln < min_len:
+            continue
+        out_parts.append(dest[pos:d])
+        out_parts.append(np.array([MARK], dtype=np.uint8))
+        offs.append(s)
+        lens.append(ln)
+        pos = d + ln
+    out_parts.append(dest[pos:])
+    new_dest = np.concatenate(out_parts) if out_parts else dest
+    return new_dest, np.asarray(offs, dtype=np.int64), np.asarray(lens, dtype=np.int64)
+
+
+def match_pgs_in_pg(hq, lq, npg, target_len: int):
+    """Returns rewritten (hq, lq, n) and the extra compression jobs
+    (offset/length streams per destination, in lq, n, hq order)."""
+    index = align_matcher.build_index(
+        hq, k=ANCHOR_K, k1=SRC_STRIDE, bits=_bits_for(len(hq)), max_bucket=CAP * 4
+    )
+    lq_new, lq_off, lq_len = _mark_and_remove(hq, index, lq, target_len, False)
+    n_new, n_off, n_len = _mark_and_remove(hq, index, npg, target_len, False)
+    hq_new, hq_off, hq_len = _mark_and_remove(hq, index, hq, target_len, True)
+    streams = []
+    for name, offs, lens in (
+        ("lq", lq_off, lq_len), ("n", n_off, n_len), ("hq", hq_off, hq_len)
+    ):
+        streams.append(CompressionJob(
+            f"pgmatch {name} offsets",
+            np.ascontiguousarray(offs, dtype=np.uint32).tobytes()
+            if (offs.size == 0 or offs.max() <= 0xFFFFFFFF)
+            else encode_varints(offs.astype(np.uint64)),
+            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 4),
+            alternatives=[Codec(codecs.ZSTD, 19)],
+        ))
+        streams.append(CompressionJob(
+            f"pgmatch {name} lengths",
+            encode_varints((lens - target_len).astype(np.uint64)),
+            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+            alternatives=[Codec(codecs.ZSTD, 19)],
+        ))
+    return hq_new, lq_new, n_new, streams
+
+
+def _bits_for(n: int) -> int:
+    return max(14, min(24, (n // 4).bit_length()))
+
+
+def _restore_one(src_getter, dest: np.ndarray, offs, lens) -> np.ndarray:
+    """Expand MARK tokens: out = dest with each MARK replaced by
+    revcomp(src[off : off + len])."""
+    marks = np.nonzero(dest == MARK)[0]
+    assert marks.size == offs.size == lens.size, "pg match stream desync"
+    parts = []
+    pos = 0
+    for i, mk in enumerate(marks):
+        parts.append(dest[pos:mk])
+        seg = src_getter(int(offs[i]), int(lens[i]))
+        parts.append(dna.COMPL_VAL[seg[::-1]])
+        pos = mk + 1
+    parts.append(dest[pos:])
+    return np.concatenate(parts) if parts else dest
+
+
+def restore_matched_pgs(reader: StreamReader, hq, lq, npg, orig_hq_len: int):
+    lq_off, lq_len = _read_match_streams(reader)
+    n_off, n_len = _read_match_streams(reader)
+    hq_off, hq_len = _read_match_streams(reader)
+    # hq self-restore: matches reference earlier (already restored) content
+    restored = np.zeros(orig_hq_len, dtype=np.uint8)
+    rpos = 0
+    marks = np.nonzero(hq == MARK)[0]
+    assert marks.size == hq_off.size
+    pos = 0
+    for i, mk in enumerate(marks):
+        seg = hq[pos:mk]
+        restored[rpos : rpos + seg.size] = seg
+        rpos += seg.size
+        ln = int(hq_len[i])
+        off = int(hq_off[i])
+        src_seg = restored[off : off + ln]
+        restored[rpos : rpos + ln] = dna.COMPL_VAL[src_seg[::-1]]
+        rpos += ln
+        pos = mk + 1
+    seg = hq[pos:]
+    restored[rpos : rpos + seg.size] = seg
+    rpos += seg.size
+    hq_full = restored[:rpos]
+    getter = lambda o, l: hq_full[o : o + l]  # noqa: E731
+    lq_full = _restore_one(getter, lq, lq_off, lq_len)
+    n_full = _restore_one(getter, npg, n_off, n_len)
+    return hq_full, lq_full, n_full
+
+
+def _read_match_streams(reader: StreamReader):
+    raw_off = reader.read_one()
+    raw_len = reader.read_one()
+    # lengths are varints (count unknowable upfront: decode all)
+    lens = _decode_all_varints(raw_len)
+    offs = np.frombuffer(raw_off, dtype=np.uint32).astype(np.int64)
+    if offs.size != lens.size and len(raw_off) and lens.size:
+        offs = decode_varints(raw_off, lens.size).astype(np.int64)
+    return offs, lens
+
+
+def _decode_all_varints(buf: bytes) -> np.ndarray:
+    if not buf:
+        return np.zeros(0, dtype=np.int64)
+    data = np.frombuffer(buf, dtype=np.uint8)
+    count = int(((data & 0x80) == 0).sum())
+    return decode_varints(buf, count).astype(np.int64)
+
+
+def add_target_back(lens: np.ndarray, target_len: int) -> np.ndarray:
+    return lens + target_len

@@ -1,0 +1,417 @@
+"""TPU-native greedy shortest-common-superstring (pseudogenome) generator.
+
+Re-design of the reference's greedy swiping overlap generator
+(pseudogenome/generator/GreedySwipingPackedOverlapPseudoGenomeGenerator.cpp and
+its Parallel twin): the same outer greedy structure — duplicates first, then
+overlap lengths L-1 down to 1, each read getting at most one successor and one
+predecessor — but each round is a data-parallel device program instead of a
+sequential merge sweep:
+
+  * per-read rolling polynomial hashes of the round's suffix (codes[r, i:])
+    and prefix (codes[r, :L-i]) are updated from ONE column of the read
+    matrix per round (no string re-sorting, no gathers);
+  * active suffixes and prefixes are sorted by (hash, idx) and paired
+    rank-for-rank inside equal-hash groups (searchsorted + running group
+    rank), self-pairs fixed by swapping with the neighbouring rank;
+  * candidate pairs are verified exactly against the uint8 read matrix, so a
+    hash collision can only cost a missed match, never a wrong link.
+
+Cycle removal (cut the minimum-overlap edge of every cycle, reference
+AbstractOverlapPseudoGenomeGenerator.cpp:6-41) and chain layout both use
+pointer doubling; the pseudogenome is materialised with one vectorised
+scatter, replacing the reference's sequential chain walk (:181-219).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+import numpy as np
+
+HASH_BASE = np.uint32(0x9E3779B1)  # odd -> invertible mod 2^32
+
+
+def _modinv_u32(b: int) -> int:
+    """Inverse of odd b modulo 2^32 (Newton iteration)."""
+    x = b
+    for _ in range(5):
+        x = (x * (2 - b * x)) & 0xFFFFFFFF
+    return x
+
+
+HASH_BASE_INV = np.uint32(_modinv_u32(int(HASH_BASE)))
+
+
+@dataclass
+class OverlapResult:
+    succ: np.ndarray        # [N] int32, -1 = no successor
+    overlap: np.ndarray     # [N] int32, overlap with successor
+    read_len: int
+
+    @property
+    def pred(self) -> np.ndarray:
+        n = self.succ.shape[0]
+        pred = np.full(n, -1, dtype=np.int32)
+        has = self.succ >= 0
+        pred[self.succ[has]] = np.nonzero(has)[0].astype(np.int32)
+        return pred
+
+
+# ---------------------------------------------------------------------------
+# device rounds
+# ---------------------------------------------------------------------------
+
+
+def _jax():
+    import jax
+
+    # int64 sort keys are load-bearing (inactive entries sort above the
+    # 32-bit hash range); do not rely on the ambient config.
+    jax.config.update("jax_enable_x64", True)
+    _enable_compilation_cache(jax)
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+_CACHE_ENABLED = False
+
+
+def _enable_compilation_cache(jax) -> None:
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED:
+        return
+    import os
+
+    cache_dir = os.environ.get(
+        "PGRC_TPU_JAX_CACHE", os.path.expanduser("~/.cache/pgrc_tpu/jax")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    _CACHE_ENABLED = True
+
+
+def _pow_table(L: int) -> np.ndarray:
+    pows = np.ones(L + 1, dtype=np.uint32)
+    b = int(HASH_BASE)
+    v = 1
+    for k in range(1, L + 1):
+        v = (v * b) & 0xFFFFFFFF
+        pows[k] = v
+    return pows
+
+
+def _build_round_fn(n: int, L: int):
+    """One jitted overlap round with a dynamic offset i (compiled once)."""
+    jax, jnp = _jax()
+
+    pows = jnp.asarray(_pow_table(L))
+    inv = jnp.uint32(HASH_BASE_INV)
+    big = jnp.int64(1) << jnp.int64(32)
+
+    def round_fn(i, codes, h, p, active_s, active_p, succ, ovl):
+        # --- rolling hash updates (suffix drops codes[:, i-1], prefix drops
+        #     codes[:, L-i]) ---
+        ci = jax.lax.dynamic_slice_in_dim(codes, i - 1, 1, axis=1)[:, 0].astype(jnp.uint32)
+        h = h - ci * pows[L - i]
+        cm = jax.lax.dynamic_slice_in_dim(codes, L - i, 1, axis=1)[:, 0].astype(jnp.uint32)
+        p = (p - cm) * inv
+
+        # --- composite sort keys: inactive entries sort to the end ---
+        idx = jnp.arange(n, dtype=jnp.int32)
+        ks = jnp.where(active_s, h.astype(jnp.int64), big + idx.astype(jnp.int64))
+        kp = jnp.where(active_p, p.astype(jnp.int64), big + idx.astype(jnp.int64))
+        ks_sorted, sidx = jax.lax.sort((ks, idx), num_keys=1)
+        kp_sorted, pidx = jax.lax.sort((kp, idx), num_keys=1)
+
+        # --- rank of each suffix within its equal-key group ---
+        pos = jnp.arange(n, dtype=jnp.int32)
+        new_group = jnp.concatenate(
+            [jnp.ones(1, dtype=jnp.bool_), ks_sorted[1:] != ks_sorted[:-1]]
+        )
+        group_start = jax.lax.cummax(jnp.where(new_group, pos, 0))
+        rank = pos - group_start
+
+        # --- matching prefix-group range for each suffix key ---
+        lo = jnp.searchsorted(kp_sorted, ks_sorted, side="left")
+        hi = jnp.searchsorted(kp_sorted, ks_sorted, side="right")
+        partner_pos = lo + rank
+        valid = (partner_pos < hi) & (ks_sorted < big)
+        partner_pos_c = jnp.clip(partner_pos, 0, n - 1)
+        partner = pidx[partner_pos_c]
+        me = sidx
+
+        # --- self-pair fix: swap partners with the next rank in the group ---
+        self_pair = valid & (partner == me)
+        nxt_same = jnp.concatenate([new_group[1:] == False, jnp.zeros(1, dtype=jnp.bool_)])  # noqa: E712
+        nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=jnp.bool_)])
+        can_swap = self_pair & nxt_same & nxt_valid
+        prev_can_swap = jnp.concatenate([jnp.zeros(1, dtype=jnp.bool_), can_swap[:-1]])
+        partner_next = jnp.concatenate([partner[1:], partner[:1]])
+        partner_prev = jnp.concatenate([partner[:1], partner[:-1]])
+        partner = jnp.where(can_swap, partner_next, partner)
+        partner = jnp.where(prev_can_swap, partner_prev, partner)
+        # drop any pair that is still reflexive
+        valid = valid & (partner != me)
+
+        # --- exact verification: codes[me, i:] == codes[partner, :L-i] ---
+        me_c = jnp.clip(me, 0, n - 1)
+        pr_c = jnp.clip(partner, 0, n - 1)
+        ra = jnp.take(codes, me_c, axis=0)
+        rb = jnp.take(codes, pr_c, axis=0)
+        ra_shift = _roll_rows(jnp, ra, i)
+        keep_mask = jnp.arange(L, dtype=jnp.int32)[None, :] < (L - i)
+        eq = jnp.where(keep_mask, ra_shift == rb, True).all(axis=1)
+        matched = valid & eq
+
+        # --- apply links ---
+        ovl_new = jnp.int32(L) - i.astype(jnp.int32)
+        succ = succ.at[jnp.where(matched, me, n)].set(
+            jnp.where(matched, partner, -1), mode="drop"
+        )
+        ovl = ovl.at[jnp.where(matched, me, n)].set(
+            jnp.where(matched, ovl_new, 0), mode="drop"
+        )
+        active_s = active_s.at[jnp.where(matched, me, n)].set(False, mode="drop")
+        active_p = active_p.at[jnp.where(matched, partner, n)].set(False, mode="drop")
+        return h, p, active_s, active_p, succ, ovl
+
+    return jax.jit(round_fn)
+
+
+def _roll_rows(jnp, mat, shift):
+    """Roll every row left by a dynamic `shift` (row r: out[:, t] = mat[:, t+shift mod L])."""
+    L = mat.shape[1]
+    cols = (jnp.arange(L, dtype=jnp.int32) + shift) % L
+    return jnp.take(mat, cols, axis=1)
+
+
+def _build_dup_fn(n: int, L: int):
+    """Duplicate linking: chain equal reads rank k -> rank k+1 (reference
+    initAndFindDuplicates, GreedySwipingPacked...cpp:97-136)."""
+    jax, jnp = _jax()
+
+    big = jnp.int64(1) << jnp.int64(32)
+
+    def dup_fn(codes, h, nreal):
+        idx = jnp.arange(n, dtype=jnp.int32)
+        real = idx < nreal
+        ks = jnp.where(real, h.astype(jnp.int64), big + idx.astype(jnp.int64))
+        ks_sorted, sidx = jax.lax.sort((ks, idx), num_keys=1)
+        nxt_key_same = jnp.concatenate(
+            [ks_sorted[1:] == ks_sorted[:-1], jnp.zeros(1, dtype=jnp.bool_)]
+        )
+        me = sidx
+        nxt = jnp.concatenate([sidx[1:], sidx[:1]])
+        ra = jnp.take(codes, me, axis=0)
+        rb = jnp.take(codes, jnp.clip(nxt, 0, n - 1), axis=0)
+        eq = (ra == rb).all(axis=1)
+        matched = nxt_key_same & eq
+        succ = jnp.full((n,), -1, dtype=jnp.int32)
+        ovl = jnp.zeros((n,), dtype=jnp.int32)
+        succ = succ.at[jnp.where(matched, me, n)].set(jnp.where(matched, nxt, -1), mode="drop")
+        ovl = ovl.at[jnp.where(matched, me, n)].set(L, mode="drop")
+        idx2 = jnp.arange(n, dtype=jnp.int32)
+        real2 = idx2 < nreal
+        active_s = (succ < 0) & real2
+        has_pred = jnp.zeros((n,), dtype=jnp.bool_).at[
+            jnp.where(matched, nxt, n)
+        ].set(True, mode="drop")
+        active_p = ~has_pred & real2
+        return succ, ovl, active_s, active_p
+
+    return jax.jit(dup_fn)
+
+
+_ROUND_CACHE: dict[tuple, object] = {}
+
+
+def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
+    """Run duplicate linking + overlap rounds; returns successor links.
+
+    coef < 1 limits rounds like the reference's overlappedReadsCountStopCoef
+    (overlap lengths L-1 .. L-(L*coef-1)); coef == 1 goes down to overlap 1.
+    """
+    jax, jnp = _jax()
+    n, L = codes.shape
+    if n == 0:
+        return OverlapResult(np.zeros(0, np.int32), np.zeros(0, np.int32), L)
+    if n == 1:
+        return OverlapResult(np.full(1, -1, np.int32), np.zeros(1, np.int32), L)
+
+    # bucket N to limit distinct compiled shapes; padding rows are inert
+    # (zero reads marked inactive in both tables from the start)
+    n_pad = _bucket_size(n)
+    if n_pad != n:
+        codes = np.concatenate(
+            [codes, np.zeros((n_pad - n, L), dtype=codes.dtype)], axis=0
+        )
+
+    key = (n_pad, L)
+    if key not in _ROUND_CACHE:
+        _ROUND_CACHE[key] = (_build_dup_fn(n_pad, L), _build_round_fn(n_pad, L))
+    dup_fn, round_fn = _ROUND_CACHE[key]
+
+    codes_d = jnp.asarray(codes)
+    pows = _pow_table(L)
+    # initial hashes: full read (suffix i=0 == prefix m=L)
+    h0 = (codes.astype(np.uint32) * pows[L - 1 :: -1][None, : L]).sum(
+        axis=1, dtype=np.uint32
+    )
+    h = jnp.asarray(h0)
+    p = jnp.asarray(h0)
+
+    succ, ovl, active_s, active_p = dup_fn(codes_d, h, jnp.int32(n))
+
+    iters = int(L * coef)
+    for i in range(1, iters):
+        h, p, active_s, active_p, succ, ovl = round_fn(
+            jnp.int32(i), codes_d, h, p, active_s, active_p, succ, ovl
+        )
+    return OverlapResult(
+        np.asarray(succ[:n]).copy(), np.asarray(ovl[:n]).copy(), L
+    )
+
+
+def _bucket_size(n: int) -> int:
+    """Round N up to a shape bucket (~25% steps) to bound recompilations."""
+    b = 256
+    while b < n:
+        b = ((b * 5 // 4) + 255) // 256 * 256
+    return b
+
+
+# ---------------------------------------------------------------------------
+# host post-processing (numpy pointer doubling)
+# ---------------------------------------------------------------------------
+
+
+def both_sides_overlapped(res: OverlapResult) -> np.ndarray:
+    """HQ filter (reference getBothSidesOverlappedReads,
+    AbstractOverlapPseudoGenomeGenerator.cpp:67-98): keep reads overlapped on
+    both sides, or duplicate-linked on either side."""
+    n = res.succ.shape[0]
+    L = res.read_len
+    prev_overlap = np.zeros(n, dtype=np.int32)
+    has = res.succ >= 0
+    prev_overlap[res.succ[has]] = res.overlap[has]
+    keep = ((prev_overlap > 0) & has) | (has & (res.overlap == L)) | (prev_overlap == L)
+    return keep
+
+
+def remove_cycles(res: OverlapResult) -> None:
+    """Cut the minimum-overlap edge of every cycle (in place).
+
+    Functional-graph cycles are found with pointer doubling; per cycle the
+    edge with minimal (overlap, node) is removed — same effect as the
+    reference's sequential walk (AbstractOverlap...cpp:6-41).
+    """
+    n = res.succ.shape[0]
+    if n == 0:
+        return
+    f = res.succ.astype(np.int64).copy()
+    terminal = f < 0
+    f[terminal] = np.nonzero(terminal)[0]
+    reaches_terminal = terminal.copy()
+    # min node id reachable (propagated along the walk) for cycle ids
+    mmin = np.arange(n, dtype=np.int64)
+    steps = 1
+    while steps < 2 * n:
+        reaches_terminal |= reaches_terminal[f]
+        mmin = np.minimum(mmin, mmin[f])
+        f = f[f]
+        steps *= 2
+    in_cycle = ~reaches_terminal
+    if not in_cycle.any():
+        return
+    cyc_nodes = np.nonzero(in_cycle)[0]
+    cyc_id = mmin[cyc_nodes]  # min node of each cycle
+    # pick per cycle the node with min (overlap, node) and cut its edge
+    order = np.lexsort((cyc_nodes, res.overlap[cyc_nodes], cyc_id))
+    sorted_ids = cyc_id[order]
+    first_of_group = np.ones(sorted_ids.size, dtype=bool)
+    first_of_group[1:] = sorted_ids[1:] != sorted_ids[:-1]
+    cut = cyc_nodes[order[first_of_group]]
+    res.succ[cut] = -1
+    res.overlap[cut] = 0
+
+
+@dataclass
+class ChainLayout:
+    order: np.ndarray       # [N] read indexes in pseudogenome order
+    pos: np.ndarray         # [N] pg position per read (aligned with `order`? no: per read idx)
+    pg_len: int
+
+
+def layout_chains(res: OverlapResult) -> ChainLayout:
+    """Compute each read's pseudogenome position via pointer doubling.
+
+    Chains are laid out consecutively in increasing head-read order
+    (mirroring the reference's head-order assembly); within a chain read x
+    sits at head_start + sum(L - overlap) over its predecessors. Duplicate
+    reads share positions; the reads-list order is (pos, rank-in-chain).
+    """
+    succ = res.succ
+    n = succ.shape[0]
+    L = res.read_len
+    if n == 0:
+        return ChainLayout(np.zeros(0, np.int64), np.zeros(0, np.int64), 0)
+    pred = np.full(n, -1, dtype=np.int64)
+    has = succ >= 0
+    pred[succ[has]] = np.nonzero(has)[0]
+
+    g = pred.copy()
+    heads = g < 0
+    g[heads] = np.nonzero(heads)[0]
+    # weight of edge pred->x = L - overlap[pred[x]]
+    w = np.zeros(n, dtype=np.int64)
+    nz = pred >= 0
+    w[nz] = L - res.overlap[pred[nz]]
+    rank = nz.astype(np.int64)
+    steps = 1
+    while steps < 2 * n:
+        w = w + w[g]
+        rank = rank + rank[g]
+        g = g[g]
+        steps *= 2
+    head = g  # chain head per read
+    # chain length = max local offset + L, per head
+    chain_end = np.zeros(n, dtype=np.int64)
+    np.maximum.at(chain_end, head, w + L)
+    head_ids = np.nonzero(heads)[0]
+    lengths = chain_end[head_ids]
+    starts = np.zeros(head_ids.size, dtype=np.int64)
+    starts[1:] = np.cumsum(lengths)[:-1]
+    start_per_head = np.zeros(n, dtype=np.int64)
+    start_per_head[head_ids] = starts
+    pos = start_per_head[head] + w
+    pg_len = int(lengths.sum())
+    order = np.lexsort((rank, pos))
+    return ChainLayout(order=order.astype(np.int64), pos=pos, pg_len=pg_len)
+
+
+def assemble_pg(codes: np.ndarray, layout: ChainLayout) -> np.ndarray:
+    """Materialise the pseudogenome sequence: every read scatters its full
+    content at its position (overlapping bytes agree by construction)."""
+    n, L = codes.shape
+    pg = np.zeros(layout.pg_len, dtype=np.uint8)
+    if n == 0:
+        return pg
+    flat = (layout.pos[:, None] + np.arange(L, dtype=np.int64)[None, :]).ravel()
+    pg[flat] = codes.ravel()
+    return pg
+
+
+def generate_pseudogenome(codes: np.ndarray, coef: float = 1.0):
+    """Full pipeline: overlaps -> cycle removal -> layout -> pg sequence.
+
+    Returns (pg_codes, order, pos_sorted) where order is the reads-list
+    (pg-order) permutation of read indexes and pos_sorted their positions.
+    """
+    res = find_overlaps(codes, coef)
+    remove_cycles(res)
+    layout = layout_chains(res)
+    pg = assemble_pg(codes, layout)
+    return pg, layout.order, layout.pos[layout.order]

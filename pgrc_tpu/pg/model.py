@@ -1,0 +1,64 @@
+"""Pseudogenome data model: sequence + struct-of-arrays reads list.
+
+Replaces the reference's SeparatedPseudoGenome + ExtendedReadsList...
+(pseudogenome/SeparatedPseudoGenome.h:12-65,
+pseudogenome/readslist/SeparatedExtendedReadsList.h:18-94) with plain numpy
+struct-of-arrays. Mismatch sym-codes/offsets are stored flat with a cumulative
+count index (the reference's misCumCount), in read order.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ReadsList:
+    """Per-read records of a pseudogenome, in pg (position) order."""
+
+    pos: np.ndarray                 # [R] int64 pg positions (non-decreasing)
+    org_idx: np.ndarray             # [R] int64 original read index (or empty)
+    rev_comp: np.ndarray            # [R] bool (empty = all False)
+    mis_cnt: np.ndarray             # [R] uint8 (empty = all 0)
+    mis_sym_code: np.ndarray        # [sum mis_cnt] uint8 cxt codes (pg<<4|read)
+    mis_off: np.ndarray             # [sum mis_cnt] uint8/uint16 read-local offsets
+
+    @property
+    def count(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def mis_cum(self) -> np.ndarray:
+        c = np.zeros(self.count + 1, dtype=np.int64)
+        if self.mis_cnt.size:
+            np.cumsum(self.mis_cnt, out=c[1:])
+        return c
+
+    @property
+    def off(self) -> np.ndarray:
+        """Position deltas (first entry = pos[0]); all fit in read_len."""
+        off = np.empty(self.count, dtype=np.int64)
+        if self.count:
+            off[0] = self.pos[0]
+            np.subtract(self.pos[1:], self.pos[:-1], out=off[1:])
+        return off
+
+    @staticmethod
+    def empty() -> "ReadsList":
+        z8 = np.zeros(0, dtype=np.uint8)
+        z64 = np.zeros(0, dtype=np.int64)
+        return ReadsList(z64, z64.copy(), np.zeros(0, dtype=bool), z8, z8.copy(), z8.copy())
+
+
+@dataclass
+class PseudoGenome:
+    """A pseudogenome: code sequence + reads list + read length."""
+
+    seq: np.ndarray                 # [pgLen] uint8 value codes
+    reads: ReadsList
+    read_len: int
+
+    @property
+    def length(self) -> int:
+        return int(self.seq.shape[0])

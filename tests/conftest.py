@@ -1,9 +1,15 @@
 """Test env: force CPU backend with 8 virtual devices so sharding tests run
 without TPU hardware. Must run before jax is imported anywhere."""
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Force the CPU backend: the ambient environment may point JAX_PLATFORMS at
+# real TPU hardware (e.g. a tunneled chip), which must never be used for
+# unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+os.environ["JAX_ENABLE_X64"] = "1"

@@ -1,0 +1,66 @@
+import numpy as np
+
+from pgrc_tpu.align import matcher
+from pgrc_tpu.core import packed
+
+
+def make_pg_and_reads(n_reads, read_len, pg_len, n_mis, seed=0, rc_frac=0.3):
+    rng = np.random.default_rng(seed)
+    pg = rng.integers(0, 4, size=pg_len, dtype=np.uint8)
+    starts = rng.integers(0, pg_len - read_len, size=n_reads)
+    reads = pg[starts[:, None] + np.arange(read_len)[None, :]].copy()
+    # inject mismatches
+    mis_counts = rng.integers(0, n_mis + 1, size=n_reads)
+    for i in range(n_reads):
+        pos = rng.choice(read_len, size=mis_counts[i], replace=False)
+        reads[i, pos] = (reads[i, pos] + rng.integers(1, 4, size=pos.size)) % 4
+    rc = rng.random(n_reads) < rc_frac
+    reads[rc] = packed.revcomp_codes_matrix(reads[rc])
+    return pg, reads, starts, rc, mis_counts
+
+
+def test_exact_reads_all_match():
+    pg, reads, starts, rc, _ = make_pg_and_reads(500, 100, 20000, 0, seed=1)
+    idx = matcher.build_index(pg, bits=16)
+    res = matcher.match_reads(reads, idx, pg, max_mismatches=33)
+    assert (res.mis != 255).mean() > 0.99
+    matched = res.mis != 255
+    # verify claimed matches decode correctly
+    for i in np.nonzero(matched)[0][:100]:
+        window = pg[res.pos[i] : res.pos[i] + 100]
+        decoded = window if not res.rc[i] else packed.revcomp_codes_matrix(window[None])[0]
+        assert (decoded != reads[i]).sum() == res.mis[i]
+
+
+def test_mismatch_reads_match_with_reported_count():
+    pg, reads, starts, rc, mis_counts = make_pg_and_reads(400, 100, 15000, 3, seed=2)
+    idx = matcher.build_index(pg, bits=16)
+    res = matcher.match_reads(reads, idx, pg, max_mismatches=33)
+    matched = res.mis != 255
+    assert matched.mean() > 0.9  # low-error reads should almost all match
+    for i in np.nonzero(matched)[0]:
+        window = pg[res.pos[i] : res.pos[i] + 100]
+        decoded = window if not res.rc[i] else packed.revcomp_codes_matrix(window[None])[0]
+        assert (decoded != reads[i]).sum() == res.mis[i]
+        assert res.mis[i] <= mis_counts[i]  # found best-or-equal alignment
+
+
+def test_random_reads_do_not_match_spuriously():
+    rng = np.random.default_rng(3)
+    pg = rng.integers(0, 4, size=30000, dtype=np.uint8)
+    junk = rng.integers(0, 4, size=(100, 100), dtype=np.uint8)
+    idx = matcher.build_index(pg, bits=16)
+    res = matcher.match_reads(junk, idx, pg, max_mismatches=10)
+    # random 100-mers vs random 30kb pg: ~75 expected mismatches; none <= 10
+    assert (res.mis == 255).all()
+
+
+def test_window_hash_consistency():
+    rng = np.random.default_rng(4)
+    seq = rng.integers(0, 4, size=500, dtype=np.uint8)
+    k = 32
+    h = matcher._window_hashes(seq, k)
+    pows = matcher._pow_at(np.arange(k - 1, -1, -1))
+    for i in (0, 1, 7, 100, 468):
+        direct = np.uint32((seq[i : i + k].astype(np.uint64) * pows.astype(np.uint64)).sum() & 0xFFFFFFFF)
+        assert h[i] == direct, i
