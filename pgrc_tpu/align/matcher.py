@@ -80,10 +80,11 @@ def _pow_at(exps: np.ndarray) -> np.ndarray:
     bit = 0
     maxbits = int(exps.max()).bit_length() if exps.size else 0
     b_pow = base  # B^(2^bit)
-    for bit in range(maxbits):
-        mask = ((exps >> np.uint64(bit)) & np.uint64(1)).astype(bool)
-        out[mask] = out[mask] * b_pow
-        b_pow = b_pow * b_pow
+    with np.errstate(over="ignore"):
+        for bit in range(maxbits):
+            mask = ((exps >> np.uint64(bit)) & np.uint64(1)).astype(bool)
+            out[mask] = out[mask] * b_pow
+            b_pow = b_pow * b_pow
     return out
 
 

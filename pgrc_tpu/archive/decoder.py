@@ -1,0 +1,249 @@
+"""PGTC decoder chain.
+
+Mirrors PgRCDecoder::decompressPgRC (pgrc/pgrc-decoder.cpp:7-98): parse the
+header, load the three pseudogenomes + reads lists, then emit the DNA stream
+in one of the four modes:
+
+  SE       hq reads (pg order, rc+mismatch applied), then lq raw, then N raw
+  PE       pair-order stream maps output slots to joined-list indexes;
+           file2 reads of lq/N pgs are reverse-complemented on output
+  SE_ORD   per-original-index joined-pg positions
+  PE_ORD   base + pair-offset encoded positions
+
+Unlike the reference there is no rc-flag flip pass at decode
+(applyRevComplPairFileToPgs): flags and mismatches were stored in
+final-output coordinates by the encoder.
+
+Validation mode (reference validateAllPgs/validatePgsOrder,
+pgrc-decoder.cpp:552-695) compares against the original inputs instead of
+writing output.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import ARCHIVE_MAGIC
+from ..config import MODE_SE, MODE_PE, MODE_ORD_SE, MODE_ORD_PE, MODE_MIN_PE
+from ..core import fastq, packed
+from ..pg.model import ReadsList
+from ..pg.reconstruct import reconstruct_at
+from ..streams.container import StreamReader
+from ..utils.varint import read_varint
+from . import order as order_enc
+from . import pgseq
+
+
+@dataclass
+class Archive:
+    mode: int
+    separate_n: bool
+    revcomp_pair: bool
+    read_len: int
+    reads_total: int
+    hq_count: int
+    lq_count: int
+    n_count: int
+    hq_pg: np.ndarray
+    lq_pg: np.ndarray
+    n_pg: np.ndarray
+    hq_reads: ReadsList           # pos empty in ORD modes (positions come from pos_by_org)
+    lq_pos: np.ndarray
+    n_pos: np.ndarray
+    rl_idx_order: np.ndarray | None    # PE modes
+    pos_by_org: np.ndarray | None      # ORD modes
+
+
+def load(path: str) -> Archive:
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:4] != ARCHIVE_MAGIC:
+        raise ValueError("not a PGTC archive")
+    pos = 4
+    ver_major, ver_minor, mode, flags = buf[4], buf[5], buf[6], buf[7]
+    if ver_major > 1:
+        raise ValueError(f"archive version {ver_major}.{ver_minor} too new")
+    separate_n = bool(flags & 1)
+    revcomp_pair = bool(flags & 2)
+    pos = 8
+    read_len, pos = read_varint(buf, pos)
+    reads_total, pos = read_varint(buf, pos)
+    hq_count, pos = read_varint(buf, pos)
+    lq_count, pos = read_varint(buf, pos)
+    n_count, pos = read_varint(buf, pos)
+    hq_pg_len, pos = read_varint(buf, pos)
+    lq_pg_len, pos = read_varint(buf, pos)
+    n_pg_len, pos = read_varint(buf, pos)
+
+    reader = StreamReader(buf, pos)
+    ord_mode = mode in (MODE_ORD_SE, MODE_ORD_PE)
+    hq_reads = _read_hq_section(reader, hq_count, has_off=not ord_mode)
+    lq_pos_arr = _read_plain_pg_section(reader, lq_count)
+    n_pos_arr = _read_plain_pg_section(reader, n_count) if separate_n \
+        else np.zeros(0, dtype=np.int64)
+
+    rl_idx_order = None
+    pos_by_org = None
+    if mode in (MODE_PE, MODE_MIN_PE):
+        rl_idx_order = order_enc.decode_pair_order(
+            reader, store_file_flags=(mode == MODE_PE)
+        )
+    elif mode == MODE_ORD_PE:
+        pos_by_org = order_enc.decode_positions_pe(reader, reads_total)
+    elif mode == MODE_ORD_SE:
+        wide = (hq_pg_len + lq_pg_len + n_pg_len) > 0xFFFFFFFF
+        pos_by_org = order_enc.decode_positions_se(reader, reads_total, wide)
+
+    hq_pg, lq_pg, n_pg = pgseq.read_pg_sequences(reader, hq_pg_len)
+    assert len(hq_pg) == hq_pg_len and len(lq_pg) == lq_pg_len and len(n_pg) == n_pg_len, \
+        "restored pg lengths disagree with header"
+    return Archive(
+        mode=mode, separate_n=separate_n, revcomp_pair=revcomp_pair,
+        read_len=read_len, reads_total=reads_total,
+        hq_count=hq_count, lq_count=lq_count, n_count=n_count,
+        hq_pg=hq_pg, lq_pg=lq_pg, n_pg=n_pg,
+        hq_reads=hq_reads, lq_pos=lq_pos_arr, n_pos=n_pos_arr,
+        rl_idx_order=rl_idx_order, pos_by_org=pos_by_org,
+    )
+
+
+def _read_hq_section(reader: StreamReader, count: int, has_off: bool) -> ReadsList:
+    if has_off:
+        off = np.frombuffer(reader.read_one(), dtype=np.uint8).astype(np.int64)
+        pos = np.cumsum(off)
+    else:
+        pos = np.zeros(count, dtype=np.int64)
+    rc = np.unpackbits(
+        np.frombuffer(reader.read_one(), dtype=np.uint8), count=count
+    ).astype(bool) if count else np.zeros(0, dtype=bool)
+    mis_cnt = np.frombuffer(reader.read_one(), dtype=np.uint8)
+    mis_sym = np.frombuffer(reader.read_one(), dtype=np.uint8)
+    mis_off = np.frombuffer(reader.read_one(), dtype=np.uint8)
+    return ReadsList(
+        pos=pos, org_idx=np.zeros(0, dtype=np.int64), rev_comp=rc,
+        mis_cnt=mis_cnt, mis_sym_code=mis_sym, mis_off=mis_off,
+    )
+
+
+def _read_plain_pg_section(reader: StreamReader, count: int) -> np.ndarray:
+    off = np.frombuffer(reader.read_one(), dtype=np.uint8).astype(np.int64)
+    assert off.size == count
+    return np.cumsum(off)
+
+
+# ---------------------------------------------------------------------------
+# output assembly
+# ---------------------------------------------------------------------------
+
+
+def _decode_all_reads(ar: Archive) -> np.ndarray:
+    """All reads as one [R_total, L] matrix in joined-list order
+    (hq entries, lq pg order, n pg order), rc+mismatch applied to hq."""
+    hq = reconstruct_at(ar.hq_pg, ar.hq_reads.pos, ar.read_len, ar.hq_reads)
+    lq = reconstruct_at(ar.lq_pg, ar.lq_pos, ar.read_len)
+    npg = reconstruct_at(ar.n_pg, ar.n_pos, ar.read_len)
+    return np.concatenate([hq, lq, npg], axis=0)
+
+
+def decode_to_matrices(ar: Archive) -> list[np.ndarray]:
+    """Decode to output read matrices: [m] for SE modes, [m1, m2] for PE."""
+    L = ar.read_len
+    if ar.mode == MODE_SE:
+        return [_decode_all_reads(ar)]
+
+    if ar.mode in (MODE_PE, MODE_MIN_PE):
+        allr = _decode_all_reads(ar)
+        order = ar.rl_idx_order
+        out1 = allr[order[0::2]]
+        out2 = allr[order[1::2]]
+        if ar.revcomp_pair:
+            # lq/N raw reads were stored pair-revcomped; hq entries already
+            # carry output-coordinate flags
+            is_raw2 = order[1::2] >= ar.hq_count
+            out2[is_raw2] = packed.revcomp_codes_matrix(out2[is_raw2])
+        return [out1, out2]
+
+    # ORD modes
+    pos = ar.pos_by_org
+    hq_len = len(ar.hq_pg)
+    nonn_len = hq_len + len(ar.lq_pg)
+    joined = np.concatenate([ar.hq_pg, ar.lq_pg, ar.n_pg])
+    is_hq = pos < hq_len
+    # k-th hq member (in original order) uses hq entry k (entries were
+    # written sorted by original index)
+    out = reconstruct_at(joined, pos, L)
+    if is_hq.any():
+        hq_rows = np.nonzero(is_hq)[0]
+        rl = ar.hq_reads
+        sub = ReadsList(
+            pos=pos[hq_rows], org_idx=np.zeros(0, np.int64),
+            rev_comp=rl.rev_comp, mis_cnt=rl.mis_cnt,
+            mis_sym_code=rl.mis_sym_code, mis_off=rl.mis_off,
+        )
+        out[hq_rows] = reconstruct_at(joined, pos[hq_rows], L, sub)
+    if ar.mode == MODE_ORD_SE:
+        return [out]
+    # PE_ORD: even org idx -> file1, odd -> file2
+    out1 = out[0::2]
+    out2 = out[1::2]
+    if ar.revcomp_pair:
+        is_raw2 = ~is_hq[1::2]
+        out2[is_raw2] = packed.revcomp_codes_matrix(out2[is_raw2])
+    return [out1, out2]
+
+
+def decode_to_files(path: str, out_prefix: str) -> int:
+    """Decode archive -> read-line file(s); returns total reads written
+    (reference writeAllReadsIn*Mode*, output name convention _out/_out_1/_out_2)."""
+    ar = load(path)
+    mats = decode_to_matrices(ar)
+    if len(mats) == 1:
+        fastq.write_reads_lines(out_prefix + "_out", mats[0])
+    else:
+        fastq.write_reads_lines(out_prefix + "_out_1", mats[0])
+        fastq.write_reads_lines(out_prefix + "_out_2", mats[1])
+    return sum(m.shape[0] for m in mats)
+
+
+def validate(path: str, src_fastq: str, pair_fastq: str = "") -> dict:
+    """Validation mode (reference -d -i src: validateAllPgs/validatePgsOrder).
+
+    Order-preserving modes require byte-identical reads; non-ord modes
+    require multiset equality (and pair association in PE mode).
+    """
+    ar = load(path)
+    mats = decode_to_matrices(ar)
+    if pair_fastq:
+        orig1 = fastq.read_any(src_fastq).codes
+        orig2 = fastq.read_any(pair_fastq).codes
+        origs = [orig1, orig2]
+    else:
+        origs = [fastq.read_any(src_fastq).codes]
+    report = {"reads": sum(m.shape[0] for m in mats), "errors": 0, "order_exact": True}
+    if ar.mode in (MODE_ORD_SE, MODE_ORD_PE):
+        for got, want in zip(mats, origs):
+            if got.shape != want.shape or not np.array_equal(got, want):
+                report["errors"] += int(
+                    got.shape != want.shape or (got != want).any(axis=1).sum()
+                )
+    else:
+        report["order_exact"] = False
+        for got, want in zip(mats, origs):
+            if not _multiset_equal(got, want):
+                report["errors"] += 1
+        if pair_fastq and ar.mode == MODE_PE:
+            # pair association: the multiset of (read1, read2) pairs must match
+            got_pairs = np.concatenate([mats[0], mats[1]], axis=1)
+            want_pairs = np.concatenate([origs[0], origs[1]], axis=1)
+            if not _multiset_equal(got_pairs, want_pairs):
+                report["errors"] += 1
+    return report
+
+
+def _multiset_equal(a: np.ndarray, b: np.ndarray) -> bool:
+    if a.shape != b.shape:
+        return False
+    av = np.ascontiguousarray(a).view([("", a.dtype)] * a.shape[1]).ravel()
+    bv = np.ascontiguousarray(b).view([("", b.dtype)] * b.shape[1]).ravel()
+    return np.array_equal(np.sort(av), np.sort(bv))

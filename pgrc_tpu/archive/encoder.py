@@ -165,9 +165,17 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
 
     # merge base + matched entries
     base_cnt = hq_org.size
+    # base entries are embedded in the pg in STORED orientation; in final-output
+    # coordinates a pair-file (odd-org) base read must be emitted rev-complemented
+    # (replaces the reference's decode-time applyRevComplPairFileToPgs flip,
+    # pgrc-decoder.cpp:697-721)
+    if params.revcomp_pair_file:
+        base_rc = (hq_org & 1) == 1
+    else:
+        base_rc = np.zeros(base_cnt, bool)
     all_pos = np.concatenate([hq_pos, m_pos])
     all_org = np.concatenate([hq_org, m_org])
-    all_rc = np.concatenate([np.zeros(base_cnt, bool), m_rc_out])
+    all_rc = np.concatenate([base_rc, m_rc_out])
     all_mis_cnt = np.concatenate([np.zeros(base_cnt, np.uint8), m_cnt])
     is_base = np.concatenate([np.ones(base_cnt, np.uint8), np.zeros(m_org.size, np.uint8)])
     perm = np.lexsort((is_base, all_pos))  # matched before base at equal pos

@@ -244,10 +244,11 @@ def _restore_one(src_getter, dest: np.ndarray, offs, lens) -> np.ndarray:
     return np.concatenate(parts) if parts else dest
 
 
-def restore_matched_pgs(reader: StreamReader, hq, lq, npg, orig_hq_len: int):
-    lq_off, lq_len = _read_match_streams(reader)
-    n_off, n_len = _read_match_streams(reader)
-    hq_off, hq_len = _read_match_streams(reader)
+def restore_matched_pgs(reader: StreamReader, hq, lq, npg, orig_hq_len: int,
+                        target_len: int):
+    lq_off, lq_len = _read_match_streams(reader, target_len)
+    n_off, n_len = _read_match_streams(reader, target_len)
+    hq_off, hq_len = _read_match_streams(reader, target_len)
     # hq self-restore: matches reference earlier (already restored) content
     restored = np.zeros(orig_hq_len, dtype=np.uint8)
     rpos = 0
@@ -274,11 +275,11 @@ def restore_matched_pgs(reader: StreamReader, hq, lq, npg, orig_hq_len: int):
     return hq_full, lq_full, n_full
 
 
-def _read_match_streams(reader: StreamReader):
+def _read_match_streams(reader: StreamReader, target_len: int):
     raw_off = reader.read_one()
     raw_len = reader.read_one()
-    # lengths are varints (count unknowable upfront: decode all)
-    lens = _decode_all_varints(raw_len)
+    # lengths are stored target-relative varints (count = number of tokens)
+    lens = _decode_all_varints(raw_len) + target_len
     offs = np.frombuffer(raw_off, dtype=np.uint32).astype(np.int64)
     if offs.size != lens.size and len(raw_off) and lens.size:
         offs = decode_varints(raw_off, lens.size).astype(np.int64)
@@ -293,5 +294,3 @@ def _decode_all_varints(buf: bytes) -> np.ndarray:
     return decode_varints(buf, count).astype(np.int64)
 
 
-def add_target_back(lens: np.ndarray, target_len: int) -> np.ndarray:
-    return lens + target_len

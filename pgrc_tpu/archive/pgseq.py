@@ -25,6 +25,7 @@ def write_pg_sequences(out, hq_pg, lq_pg, n_pg, target_match_len: int, level: in
     header = bytearray()
     matched = len(hq_pg) >= target_match_len
     header.append(1 if matched else 0)
+    write_varint(header, target_match_len)
     if matched:
         hq_m, lq_m, n_m, streams = pg_match.match_pgs_in_pg(
             hq_pg, lq_pg, n_pg, target_match_len
@@ -53,6 +54,7 @@ def read_pg_sequences(reader: StreamReader, orig_hq_len: int):
     buf = reader.buf
     matched = buf[reader.pos]
     reader.pos += 1
+    target_len, reader.pos = read_varint(buf, reader.pos)
     hq_len, reader.pos = read_varint(buf, reader.pos)
     lq_len, reader.pos = read_varint(buf, reader.pos)
     n_len, reader.pos = read_varint(buf, reader.pos)
@@ -61,5 +63,7 @@ def read_pg_sequences(reader: StreamReader, orig_hq_len: int):
     lq = joined[hq_len : hq_len + lq_len]
     npg = joined[hq_len + lq_len :]
     if matched:
-        hq, lq, npg = pg_match.restore_matched_pgs(reader, hq, lq, npg, orig_hq_len)
+        hq, lq, npg = pg_match.restore_matched_pgs(
+            reader, hq, lq, npg, orig_hq_len, target_len
+        )
     return np.ascontiguousarray(hq), np.ascontiguousarray(lq), np.ascontiguousarray(npg)

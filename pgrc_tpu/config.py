@@ -64,10 +64,13 @@ class PgRCParams:
         return MODE_SE
 
     def resolve(self) -> None:
-        """Derive chain flags (reference prepareChainData, pgrc-encoder.cpp:27-49)."""
+        """Derive chain flags (reference prepareChainData, pgrc-encoder.cpp:27-54:
+        rev-compl pair file only in PE / ORD_PE modes)."""
         if not self.pair_fastq and not self.preserve_order:
             self.single_reads_mode = True
-        self.revcomp_pair_file = bool(self.pair_fastq) and not self.disable_revcomp_pair
+        self.revcomp_pair_file = (
+            self.mode() in (MODE_PE, MODE_ORD_PE) and not self.disable_revcomp_pair
+        )
 
     def max_mismatches(self) -> int:
         return self.read_len // self.min_chars_per_mismatch

@@ -276,10 +276,12 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
 
 
 def _bucket_size(n: int) -> int:
-    """Round N up to a shape bucket (~25% steps) to bound recompilations."""
+    """Round N up to the next power of two (>=256): one compiled round
+    program per (bucket, L), persisted in the compilation cache. Padding
+    rows are inert, and round runtime is negligible next to compile cost."""
     b = 256
     while b < n:
-        b = ((b * 5 // 4) + 255) // 256 * 256
+        b *= 2
     return b
 
 

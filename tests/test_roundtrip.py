@@ -1,0 +1,144 @@
+"""End-to-end archive round-trip tests in all modes (the PGTC fidelity
+contract, DESIGN.md): ORD modes byte-identical, non-ord modes permutation
+with pair association preserved."""
+import numpy as np
+import pytest
+
+from pgrc_tpu.archive import decoder, encoder
+from pgrc_tpu.config import PgRCParams
+from pgrc_tpu.utils import dna
+
+
+def synth_fastq(path, n_reads, read_len, genome_len, seed, n_frac=0.02,
+                lowq_frac=0.2, mis_rate=0.01):
+    """Genome-sampled reads with errors, N bases, mixed qualities."""
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
+    starts = rng.integers(0, genome_len - read_len, size=n_reads)
+    codes = genome[starts[:, None] + np.arange(read_len)[None, :]].copy()
+    # strand flips
+    flip = rng.random(n_reads) < 0.5
+    codes[flip] = dna.COMPL_VAL[codes[flip][:, ::-1]]
+    # sequencing errors
+    err = rng.random(codes.shape) < mis_rate
+    codes[err] = (codes[err] + rng.integers(1, 4, size=int(err.sum()))) % 4
+    # N bases in a fraction of reads
+    n_rows = rng.random(n_reads) < n_frac
+    for i in np.nonzero(n_rows)[0]:
+        k = rng.integers(1, 4)
+        codes[i, rng.choice(read_len, size=k, replace=False)] = dna.N
+    # qualities: high 'I' except low-quality reads get '#' tails
+    qual = np.full((n_reads, read_len), ord("I"), dtype=np.uint8)
+    lowq = rng.random(n_reads) < lowq_frac
+    qual[lowq, read_len // 2:] = ord("#")
+    with open(path, "wb") as f:
+        for i in range(n_reads):
+            f.write(b"@r%d\n" % i)
+            f.write(dna.VAL2SYM[codes[i]].tobytes() + b"\n+\n")
+            f.write(qual[i].tobytes() + b"\n")
+    return codes
+
+
+def read_lines_file(path):
+    with open(path, "rb") as f:
+        lines = f.read().splitlines()
+    return np.stack([dna.SYM2VAL[np.frombuffer(l, dtype=np.uint8)] for l in lines])
+
+
+def _multiset_eq(a, b):
+    return decoder._multiset_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def se_input(tmp_path_factory):
+    d = tmp_path_factory.mktemp("se")
+    path = str(d / "in.fastq")
+    codes = synth_fastq(path, 800, 80, 4000, seed=10)
+    return path, codes, str(d)
+
+
+def test_se_roundtrip(se_input):
+    path, codes, d = se_input
+    params = PgRCParams(src_fastq=path, output=d + "/a.pgtc")
+    stats = encoder.encode(params)
+    assert stats.reads_total == 800
+    n = decoder.decode_to_files(d + "/a.pgtc", d + "/a")
+    assert n == 800
+    got = read_lines_file(d + "/a_out")
+    assert _multiset_eq(got, codes)
+    # archive should beat 2-bit packing on genome-derived reads
+    assert stats.archive_bytes < 800 * 80 / 4 * 1.5
+
+
+def test_se_ord_roundtrip(se_input):
+    path, codes, d = se_input
+    params = PgRCParams(src_fastq=path, output=d + "/o.pgtc", preserve_order=True)
+    encoder.encode(params)
+    decoder.decode_to_files(d + "/o.pgtc", d + "/o")
+    got = read_lines_file(d + "/o_out")
+    np.testing.assert_array_equal(got, codes)  # byte-identical
+
+
+def test_se_validation_mode(se_input):
+    path, codes, d = se_input
+    params = PgRCParams(src_fastq=path, output=d + "/v.pgtc")
+    encoder.encode(params)
+    rep = decoder.validate(d + "/v.pgtc", path)
+    assert rep["errors"] == 0
+
+
+@pytest.fixture(scope="module")
+def pe_input(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pe")
+    p1 = str(d / "in1.fastq")
+    p2 = str(d / "in2.fastq")
+    c1 = synth_fastq(p1, 400, 80, 4000, seed=20)
+    c2 = synth_fastq(p2, 400, 80, 4000, seed=21)
+    return p1, p2, c1, c2, str(d)
+
+
+def test_pe_roundtrip(pe_input):
+    p1, p2, c1, c2, d = pe_input
+    params = PgRCParams(src_fastq=p1, pair_fastq=p2, output=d + "/p.pgtc")
+    stats = encoder.encode(params)
+    assert stats.reads_total == 800
+    decoder.decode_to_files(d + "/p.pgtc", d + "/p")
+    g1 = read_lines_file(d + "/p_out_1")
+    g2 = read_lines_file(d + "/p_out_2")
+    # pair association preserved: multiset of concatenated pairs equal
+    got_pairs = np.concatenate([g1, g2], axis=1)
+    want_pairs = np.concatenate([c1, c2], axis=1)
+    assert _multiset_eq(got_pairs, want_pairs)
+
+
+def test_pe_ord_roundtrip(pe_input):
+    p1, p2, c1, c2, d = pe_input
+    params = PgRCParams(
+        src_fastq=p1, pair_fastq=p2, output=d + "/q.pgtc", preserve_order=True
+    )
+    encoder.encode(params)
+    decoder.decode_to_files(d + "/q.pgtc", d + "/q")
+    np.testing.assert_array_equal(read_lines_file(d + "/q_out_1"), c1)
+    np.testing.assert_array_equal(read_lines_file(d + "/q_out_2"), c2)
+
+
+def test_pe_min_roundtrip(pe_input):
+    p1, p2, c1, c2, d = pe_input
+    params = PgRCParams(
+        src_fastq=p1, pair_fastq=p2, output=d + "/m.pgtc", ignore_pair_order=True
+    )
+    encoder.encode(params)
+    decoder.decode_to_files(d + "/m.pgtc", d + "/m")
+    g1 = read_lines_file(d + "/m_out_1")
+    g2 = read_lines_file(d + "/m_out_2")
+    all_got = np.concatenate([g1, g2], axis=0)
+    all_want = np.concatenate([c1, c2], axis=0)
+    assert _multiset_eq(all_got, all_want)
+
+
+def test_pe_validation_mode(pe_input):
+    p1, p2, c1, c2, d = pe_input
+    params = PgRCParams(src_fastq=p1, pair_fastq=p2, output=d + "/pv.pgtc")
+    encoder.encode(params)
+    rep = decoder.validate(d + "/pv.pgtc", p1, p2)
+    assert rep["errors"] == 0
