@@ -36,7 +36,7 @@ def sharded_match_step(mesh, read_len: int, k: int, bits: int, cap: int,
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..align import matcher as am
     from ..core import packed
@@ -71,7 +71,7 @@ def sharded_overlap_round(mesh, n: int, read_len: int):
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..overlap import greedy_scs as g
 
@@ -94,5 +94,8 @@ def sharded_overlap_round(mesh, n: int, read_len: int):
         mesh=mesh,
         in_specs=(P(), P("data"), P("data"), P("data")),
         out_specs=(P("data"), P("data"), P(), P()),
+        # h_all/p_all are tiled all_gather results — identical on every
+        # device, but the VMA checker can't infer that statically
+        check_vma=False,
     )
     return jax.jit(smapped)

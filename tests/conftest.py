@@ -13,3 +13,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_ENABLE_X64"] = "1"
+
+# The ambient sitecustomize may register a hardware backend and force
+# jax_platforms past the env var; the config update below wins (backends
+# initialize lazily, so doing this at conftest import time is early enough).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
