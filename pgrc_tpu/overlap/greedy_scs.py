@@ -103,19 +103,25 @@ def _pow_table(L: int) -> np.ndarray:
     return pows
 
 
-def _build_round_fn(n: int, L: int):
-    """One jitted overlap round with a dynamic offset i (compiled once)."""
+def _build_sweep_fn(n: int, L: int):
+    """The full overlap sweep as ONE device program: duplicate linking, then
+    a fori_loop over overlap offsets 1..iters-1 (one round per iteration).
+    A single dispatch per pseudogenome keeps host<->device round trips off
+    the critical path (the tunnel RTT dwarfs per-round compute)."""
     jax, jnp = _jax()
 
-    pows = jnp.asarray(_pow_table(L))
-    inv = jnp.uint32(HASH_BASE_INV)
-    big = jnp.int64(1) << jnp.int64(32)
+    # closure constants MUST stay numpy: a closed-over jax device array is
+    # fetched device->host at lowering time to embed as an MLIR constant,
+    # which costs ~80 s per array over a tunneled TPU
+    pows = _pow_table(L)
+    inv = np.uint32(HASH_BASE_INV)
+    big = np.int64(1) << np.int64(32)
 
     def round_fn(i, codes, h, p, active_s, active_p, succ, ovl):
         # --- rolling hash updates (suffix drops codes[:, i-1], prefix drops
         #     codes[:, L-i]) ---
         ci = jax.lax.dynamic_slice_in_dim(codes, i - 1, 1, axis=1)[:, 0].astype(jnp.uint32)
-        h = h - ci * pows[L - i]
+        h = h - ci * jnp.asarray(pows)[L - i]
         cm = jax.lax.dynamic_slice_in_dim(codes, L - i, 1, axis=1)[:, 0].astype(jnp.uint32)
         p = (p - cm) * inv
 
@@ -178,24 +184,7 @@ def _build_round_fn(n: int, L: int):
         active_p = active_p.at[jnp.where(matched, partner, n)].set(False, mode="drop")
         return h, p, active_s, active_p, succ, ovl
 
-    return jax.jit(round_fn)
-
-
-def _roll_rows(jnp, mat, shift):
-    """Roll every row left by a dynamic `shift` (row r: out[:, t] = mat[:, t+shift mod L])."""
-    L = mat.shape[1]
-    cols = (jnp.arange(L, dtype=jnp.int32) + shift) % L
-    return jnp.take(mat, cols, axis=1)
-
-
-def _build_dup_fn(n: int, L: int):
-    """Duplicate linking: chain equal reads rank k -> rank k+1 (reference
-    initAndFindDuplicates, GreedySwipingPacked...cpp:97-136)."""
-    jax, jnp = _jax()
-
-    big = jnp.int64(1) << jnp.int64(32)
-
-    def dup_fn(codes, h, nreal):
+    def dup_part(codes, h, nreal):
         idx = jnp.arange(n, dtype=jnp.int32)
         real = idx < nreal
         ks = jnp.where(real, h.astype(jnp.int64), big + idx.astype(jnp.int64))
@@ -213,16 +202,32 @@ def _build_dup_fn(n: int, L: int):
         ovl = jnp.zeros((n,), dtype=jnp.int32)
         succ = succ.at[jnp.where(matched, me, n)].set(jnp.where(matched, nxt, -1), mode="drop")
         ovl = ovl.at[jnp.where(matched, me, n)].set(L, mode="drop")
-        idx2 = jnp.arange(n, dtype=jnp.int32)
-        real2 = idx2 < nreal
-        active_s = (succ < 0) & real2
+        active_s = (succ < 0) & real
         has_pred = jnp.zeros((n,), dtype=jnp.bool_).at[
             jnp.where(matched, nxt, n)
         ].set(True, mode="drop")
-        active_p = ~has_pred & real2
+        active_p = ~has_pred & real
         return succ, ovl, active_s, active_p
 
-    return jax.jit(dup_fn)
+    def sweep_fn(codes, h0, nreal, iters):
+        succ, ovl, active_s, active_p = dup_part(codes, h0, nreal)
+
+        def body(i, carry):
+            h, p, a_s, a_p, succ, ovl = carry
+            return round_fn(jnp.int32(i), codes, h, p, a_s, a_p, succ, ovl)
+
+        carry = (h0, h0, active_s, active_p, succ, ovl)
+        carry = jax.lax.fori_loop(1, iters, body, carry)
+        return carry[4], carry[5]
+
+    return jax.jit(sweep_fn)
+
+
+def _roll_rows(jnp, mat, shift):
+    """Roll every row left by a dynamic `shift` (row r: out[:, t] = mat[:, t+shift mod L])."""
+    L = mat.shape[1]
+    cols = (jnp.arange(L, dtype=jnp.int32) + shift) % L
+    return jnp.take(mat, cols, axis=1)
 
 
 _ROUND_CACHE: dict[tuple, object] = {}
@@ -251,8 +256,8 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
 
     key = (n_pad, L)
     if key not in _ROUND_CACHE:
-        _ROUND_CACHE[key] = (_build_dup_fn(n_pad, L), _build_round_fn(n_pad, L))
-    dup_fn, round_fn = _ROUND_CACHE[key]
+        _ROUND_CACHE[key] = _build_sweep_fn(n_pad, L)
+    sweep_fn = _ROUND_CACHE[key]
 
     codes_d = jnp.asarray(codes)
     pows = _pow_table(L)
@@ -260,16 +265,8 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
     h0 = (codes.astype(np.uint32) * pows[L - 1 :: -1][None, : L]).sum(
         axis=1, dtype=np.uint32
     )
-    h = jnp.asarray(h0)
-    p = jnp.asarray(h0)
-
-    succ, ovl, active_s, active_p = dup_fn(codes_d, h, jnp.int32(n))
-
     iters = int(L * coef)
-    for i in range(1, iters):
-        h, p, active_s, active_p, succ, ovl = round_fn(
-            jnp.int32(i), codes_d, h, p, active_s, active_p, succ, ovl
-        )
+    succ, ovl = sweep_fn(codes_d, jnp.asarray(h0), jnp.int32(n), jnp.int32(iters))
     return OverlapResult(
         np.asarray(succ[:n]).copy(), np.asarray(ovl[:n]).copy(), L
     )

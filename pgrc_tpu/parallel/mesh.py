@@ -75,13 +75,15 @@ def sharded_overlap_round(mesh, n: int, read_len: int):
 
     from ..overlap import greedy_scs as g
 
-    pows = jnp.asarray(g._pow_table(read_len))
-    inv = jnp.uint32(g.HASH_BASE_INV)
+    # numpy constants only — closed-over device arrays stall lowering (see
+    # greedy_scs._build_sweep_fn)
+    pows = g._pow_table(read_len)
+    inv = np.uint32(g.HASH_BASE_INV)
 
     def local_update(i, codes, h, p):
         L = read_len
         ci = jax.lax.dynamic_slice_in_dim(codes, i[0] - 1, 1, axis=1)[:, 0].astype(jnp.uint32)
-        h = h - ci * pows[L - i[0]]
+        h = h - ci * jnp.asarray(pows)[L - i[0]]
         cm = jax.lax.dynamic_slice_in_dim(codes, L - i[0], 1, axis=1)[:, 0].astype(jnp.uint32)
         p = (p - cm) * inv
         # gather the global tables for the (replicated) sort+match stage
