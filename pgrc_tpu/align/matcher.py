@@ -220,10 +220,14 @@ def match_reads(
     if n == 0 or index.positions.size == 0 or index.pg_len < L:
         return MatchResult(out_pos, out_rc, out_mis)
 
+    # bucket pg-dependent array lengths so the compiled probe program is
+    # shared across datasets (pg_len itself stays a dynamic argument)
     pg_lanes = packed.pack_text_2bit(pg_codes)
+    pg_lanes = _pad_1d(pg_lanes, _probe_bucket(len(pg_lanes)))
+    positions = _pad_1d(index.positions, _probe_bucket(max(index.positions.size, 1)))
     pg_lanes_d = jnp.asarray(pg_lanes)
     starts_d = jnp.asarray(index.starts)
-    positions_d = jnp.asarray(index.positions)
+    positions_d = jnp.asarray(positions)
 
     n_probes = len(range(0, L - index.k + 1, k2))
     rc_codes = packed.revcomp_codes_matrix(read_codes)
@@ -249,7 +253,8 @@ def match_reads(
                 jnp.asarray(lanes), jnp.asarray(ph), starts_d, positions_d,
                 pg_lanes_d, index.pg_len,
             )
-            res[strand] = (np.asarray(mis)[:bn], np.asarray(pos)[:bn])
+            mis_h, pos_h = _jax()[0].device_get((mis, pos))
+            res[strand] = (mis_h[:bn], pos_h[:bn])
         fm, fp = res["f"]
         rm, rp = res["r"]
         take_r = rm < fm  # strict: forward wins ties (deterministic)
@@ -273,3 +278,11 @@ def _pad_rows(mat: np.ndarray, n: int) -> np.ndarray:
         return mat
     pad = np.zeros((n - mat.shape[0], mat.shape[1]), dtype=mat.dtype)
     return np.concatenate([mat, pad], axis=0)
+
+
+def _pad_1d(arr: np.ndarray, n: int) -> np.ndarray:
+    """Zero-pad a 1-D array to length n (padding is only ever gathered under
+    a mask, so the values are inert)."""
+    if arr.shape[0] >= n:
+        return arr
+    return np.concatenate([arr, np.zeros(n - arr.shape[0], dtype=arr.dtype)])

@@ -267,9 +267,12 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
     )
     iters = int(L * coef)
     succ, ovl = sweep_fn(codes_d, jnp.asarray(h0), jnp.int32(n), jnp.int32(iters))
-    return OverlapResult(
-        np.asarray(succ[:n]).copy(), np.asarray(ovl[:n]).copy(), L
-    )
+    # device_get, not np.asarray: the __array__ readback path stalls ~10 s
+    # per call on a tunneled TPU, device_get transfers in ms
+    import jax
+
+    succ_h, ovl_h = jax.device_get((succ, ovl))
+    return OverlapResult(succ_h[:n].copy(), ovl_h[:n].copy(), L)
 
 
 def _bucket_size(n: int) -> int:
