@@ -13,7 +13,7 @@ TMP=${PGRC_BENCH_TMP:-/tmp/pgrc_bench}
 mkdir -p "$TMP"
 SRC="$TMP/bench_${N}.fastq"
 if [ ! -f "$SRC" ]; then
-  PGRC_BENCH_READS=$N python - <<'EOF'
+  PGRC_BENCH_READS=$N PGRC_BENCH_TMP=$TMP python - <<'EOF'
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.abspath("bench.py")))
 import bench
@@ -22,12 +22,18 @@ tmp = os.environ.get("PGRC_BENCH_TMP", "/tmp/pgrc_bench")
 bench.synth_fastq(os.path.join(tmp, f"bench_{n}.fastq"), n, 100, max(n*100//40, 200000), seed=7)
 EOF
 fi
-START=$(date +%s.%N)
+START=$(python -c 'import time; print(time.time())')
 ./build-ref/PgRC -t 8 -i "$SRC" "$TMP/ref.pgrc"
-END=$(date +%s.%N)
-DT=$(echo "$END - $START" | bc)
-BASES=$((N * 100))
-MBS=$(echo "scale=3; $BASES / 1000000 / $DT" | bc)
+END=$(python -c 'import time; print(time.time())')
 SIZE=$(stat -c %s "$TMP/ref.pgrc")
-echo "{\"mbases_per_s\": $MBS, \"seconds\": $DT, \"archive_bytes\": $SIZE, \"reads\": $N}" > build-ref/baseline.json
-cat build-ref/baseline.json
+N=$N START=$START END=$END SIZE=$SIZE python - <<'EOF'
+import json, os
+n = int(os.environ["N"]); dt = float(os.environ["END"]) - float(os.environ["START"])
+size = int(os.environ["SIZE"]); bases = n * 100
+rec = {"mbases_per_s": round(bases / 1e6 / dt, 3), "seconds": round(dt, 3),
+       "archive_bytes": size, "reads": n,
+       "bits_per_base": round(size * 8 / bases, 4)}
+with open("build-ref/baseline.json", "w") as f:
+    json.dump(rec, f)
+print(json.dumps(rec))
+EOF

@@ -116,15 +116,30 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
         k = min(k, L)
         cand_codes = codes[cand_idx]
         has_n = (cand_codes == dna.N).any(axis=1)
+        max_mis = L // params.min_chars_per_mismatch
         index = align_matcher.build_index(hq_pg, k=k, bits=_index_bits(len(hq_pg)))
+        # reads with N probe with N->A (the 2-bit packed verify cannot encode
+        # N); their true mismatch count is restored by an exact re-verify below
+        probe_codes = cand_codes
+        if has_n.any():
+            probe_codes = cand_codes.copy()
+            probe_codes[probe_codes == dna.N] = dna.A
         mres = align_matcher.match_reads(
-            cand_codes, index, hq_pg,
-            max_mismatches=L // params.min_chars_per_mismatch,
+            probe_codes, index, hq_pg,
+            max_mismatches=max_mis,
             cap=params.match_cap,
         )
-        # v1 gap: reads containing N skip matching (see DESIGN.md)
-        mres.pos[has_n] = -1
-        mres.mis[has_n] = 255
+        if has_n.any():
+            rows = np.nonzero(has_n & (mres.pos >= 0))[0]
+            if rows.size:
+                win = hq_pg[mres.pos[rows, None] + np.arange(L, dtype=np.int64)[None, :]].copy()
+                rc = mres.rc[rows]
+                win[rc] = packed.revcomp_codes_matrix(win[rc])
+                true_mis = (cand_codes[rows] != win).sum(axis=1)
+                bad = true_mis > max_mis
+                mres.pos[rows[bad]] = -1
+                mres.mis[rows[bad]] = 255
+                mres.mis[rows[~bad]] = true_mis[~bad].astype(np.uint8)
         matched = mres.pos >= 0
     else:
         matched = np.zeros(cand_idx.size, dtype=bool)

@@ -136,6 +136,32 @@ def test_pe_min_roundtrip(pe_input):
     assert _multiset_eq(all_got, all_want)
 
 
+def test_n_reads_are_matched(tmp_path):
+    """Reads containing N should still map onto the HQ pg (N counts as a
+    mismatch via the exact re-verify), not fall through to the N pg."""
+    rng = np.random.default_rng(33)
+    genome = rng.integers(0, 4, size=4000, dtype=np.uint8)
+    n_reads, L = 600, 80
+    starts = rng.integers(0, 4000 - L, size=n_reads)
+    codes = genome[starts[:, None] + np.arange(L)[None, :]].copy()
+    n_rows = np.arange(0, n_reads, 10)       # 10% of reads get one N
+    codes[n_rows, 5] = dna.N
+    qual = np.full((n_reads, L), ord("I"), dtype=np.uint8)
+    qual[n_rows, L // 2:] = ord("#")         # N rows are low quality too
+    path = str(tmp_path / "n.fastq")
+    with open(path, "wb") as f:
+        for i in range(n_reads):
+            f.write(b"@r%d\n" % i)
+            f.write(dna.VAL2SYM[codes[i]].tobytes() + b"\n+\n")
+            f.write(qual[i].tobytes() + b"\n")
+    params = PgRCParams(src_fastq=path, output=str(tmp_path / "n.pgtc"))
+    stats = encoder.encode(params)
+    # most N reads should have matched (1 N mismatch out of budget 26)
+    assert stats.matched_count >= n_rows.size * 0.8
+    rep = decoder.validate(str(tmp_path / "n.pgtc"), path)
+    assert rep["errors"] == 0
+
+
 def test_pe_validation_mode(pe_input):
     p1, p2, c1, c2, d = pe_input
     params = PgRCParams(src_fastq=p1, pair_fastq=p2, output=d + "/pv.pgtc")
