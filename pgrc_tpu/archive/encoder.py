@@ -280,7 +280,32 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
     import os
 
     os.replace(tmp, out_path)
+    if params.report_path:
+        _append_report(params, stats)
     return stats
+
+
+def _append_report(params: PgRCParams, stats: EncodeStats) -> None:
+    """Append a TSV benchmark row (reference generateReport,
+    pgrc-encoder.cpp:467-495: sizes + per-stage seconds to pgrc_res.txt)."""
+    import os
+
+    t = stats.stage_times
+    header = ("src\treads\tlen\tsize[B]\tbits/base\ttotal[s]\tdiv\tpgdiv\tgood\t"
+              "match\tbad\torder\tpgseq\n")
+    row = (
+        f"{os.path.basename(params.src_fastq)}\t{stats.reads_total}\t{stats.read_len}\t"
+        f"{stats.archive_bytes}\t"
+        f"{stats.archive_bytes * 8 / max(stats.reads_total * stats.read_len, 1):.4f}\t"
+        f"{sum(t.values()):.2f}\t" +
+        "\t".join(f"{t.get(k, 0.0):.2f}" for k in
+                  ("div", "pgdiv", "good", "match", "bad", "order", "pgseq")) + "\n"
+    )
+    new = not os.path.exists(params.report_path)
+    with open(params.report_path, "a") as f:
+        if new:
+            f.write(header)
+        f.write(row)
 
 
 def _index_bits(pg_len: int) -> int:

@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     ap.add_argument("-c", type=int, default=2, help="compression level 1..3")
     ap.add_argument("-n", action="store_true", help="put reads with N in LQ set")
     ap.add_argument("-r", action="store_true", help="disable rev-compl pair file mode")
+    ap.add_argument("-v", action="count", default=0,
+                    help="verbosity (-v dev stream logs, -vv trace)")
+    ap.add_argument("-R", metavar="TSV", default="",
+                    help="append a benchmark TSV row to this file (pgrc_res.txt role)")
     ap.add_argument("archive", nargs="?", help="archive path")
     args = ap.parse_args(argv)
     # argparse's greedy `-i src [pair]` also consumes the trailing archive
@@ -44,6 +48,10 @@ def main(argv=None) -> int:
         args.archive = args.i.pop()
     if args.i and len(args.i) > 2:
         ap.error("-i takes at most two files: src [pair]")
+
+    from .utils import logchan
+
+    logchan.set_verbosity(args.v)
 
     t0 = time.time()
     if args.d:
@@ -80,6 +88,8 @@ def main(argv=None) -> int:
         separate_n_reads=not args.n,
         n_reads_lq=args.n,
         disable_revcomp_pair=args.r,
+        verbosity=args.v,
+        report_path=args.R,
     )
     stats = encoder.encode(params)
     total = time.time() - t0

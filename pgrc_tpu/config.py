@@ -50,6 +50,10 @@ class PgRCParams:
     # PE pair handling
     disable_revcomp_pair: bool = False
 
+    # observability
+    verbosity: int = 0              # 0 app, 1 +dev stream logs, 2 +trace
+    report_path: str = ""           # append a TSV row per run (pgrc_res.txt role)
+
     # chain state
     read_len: int = 0
     revcomp_pair_file: bool = False

@@ -33,11 +33,24 @@ class CompressionJob:
 
 
 def _compress_one(job: CompressionJob) -> bytes:
+    import time
+
+    from ..utils import logchan
+
+    t0 = time.monotonic()
     candidates = [job.codec, *job.alternatives]
     best_codec, best = codecs.select_best(candidates, job.data)
     rec = bytearray()
     if len(best) >= len(job.data):
         best_codec, best = Codec(codecs.STORE), job.data
+    if job.data:
+        # per-stream compression log (reference CodersLib.cpp:216-229)
+        logchan.devout.write(
+            f"\t{job.label}... coder {best_codec.coder_id} compressed "
+            f"{len(job.data)} bytes to {len(best)} bytes "
+            f"(ratio {len(best) / len(job.data):.3f}) in "
+            f"{int((time.monotonic() - t0) * 1000)} msec.\n"
+        )
     rec.append(best_codec.coder_id)
     rec.append(best_codec.p1 & 0xFF)
     rec.append(best_codec.p2 & 0xFF)
