@@ -64,6 +64,16 @@ def _ctx_index(order: int, period: int, prev: int, pos: int) -> int:
 
 def encode(data: np.ndarray, order: int = 0, period: int = 1, nsym: int = 256) -> bytes:
     data = np.asarray(data, dtype=np.uint8)
+    from .. import native
+
+    fast = native.rc_encode(data.tobytes(), order, period, nsym)
+    if fast is not None:
+        return fast
+    return _py_encode(data, order, period, nsym)
+
+
+def _py_encode(data: np.ndarray, order: int = 0, period: int = 1, nsym: int = 256) -> bytes:
+    data = np.asarray(data, dtype=np.uint8)
     models = _contexts(order, period, nsym)
     out = bytearray()
     low = 0
@@ -96,6 +106,15 @@ def encode(data: np.ndarray, order: int = 0, period: int = 1, nsym: int = 256) -
 
 
 def decode(data: bytes, count: int, order: int = 0, period: int = 1, nsym: int = 256) -> np.ndarray:
+    from .. import native
+
+    fast = native.rc_decode(bytes(data), count, order, period, nsym)
+    if fast is not None:
+        return np.frombuffer(fast, dtype=np.uint8)
+    return _py_decode(data, count, order, period, nsym)
+
+
+def _py_decode(data: bytes, count: int, order: int = 0, period: int = 1, nsym: int = 256) -> np.ndarray:
     models = _contexts(order, period, nsym)
     out = np.zeros(count, dtype=np.uint8)
     buf = data + b"\x00" * 8

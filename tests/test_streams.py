@@ -104,3 +104,27 @@ def test_container_roundtrip():
     reader2 = StreamReader(out.getvalue())
     got = reader2.read_many(4)
     assert got == streams
+
+
+def test_native_rangecoder_bitcompat():
+    """Native C++ coder must be bit-compatible with the pure-Python reference."""
+    from pgrc_tpu import native
+    from pgrc_tpu.streams import rangecoder as rc
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    for order, period, nsym in [(0, 1, 256), (0, 2, 256), (1, 1, 8), (1, 3, 64)]:
+        data = rng.integers(0, nsym, size=5000, dtype=np.uint8)
+        # skew the distribution so compression actually engages
+        data[data % 3 == 0] = 1
+        enc_native = native.rc_encode(data.tobytes(), order, period, nsym)
+        dec = rc.decode(enc_native, data.size, order, period, nsym)
+        np.testing.assert_array_equal(dec, data)
+        # python decode of native bytes (cross-check both directions)
+        dec_py = rc._py_decode(enc_native, data.size, order, period, nsym)
+        np.testing.assert_array_equal(dec_py, data)
+        enc_py2 = rc._py_encode(data, order, period, nsym)
+        assert enc_py2 == enc_native
