@@ -52,6 +52,23 @@ class EncodeStats:
     stage_times: dict = None
 
 
+def _ckpt_path(params: PgRCParams, stage: int) -> str:
+    import os
+
+    d = params.tmp_work_dir or (params.output + ".work")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"stage{stage}.npz")
+
+
+def _save_ckpt(params: PgRCParams, stage: int, **arrays) -> None:
+    np.savez_compressed(_ckpt_path(params, stage), **arrays)
+
+
+def _load_ckpt(params: PgRCParams, stage: int) -> dict:
+    with np.load(_ckpt_path(params, stage)) as z:
+        return {k: z[k] for k in z.files}
+
+
 def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
     import time
 
@@ -59,6 +76,8 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
     t0 = time.time()
     params.resolve()
     stats = EncodeStats(stage_times=t)
+    B, E = params.begin_stage, params.end_stage
+    ck = _load_ckpt(params, B - 1) if B > 1 else {}
 
     # ---- input ----
     if params.pair_fastq:
@@ -75,40 +94,79 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
 
     # ---- stage 1: quality division ----
     t0 = time.time()
-    hq_mask = fastq.quality_high_mask(
-        reads, params.error_limit_promils / 1000.0, params.simplified_suffix_mode
-    )
-    n_mask = fastq.contains_n_mask(reads)
-    if params.separate_n_reads:
-        n_idx = np.nonzero(n_mask)[0]
-        lq_idx = np.nonzero(~n_mask & ~hq_mask)[0]
-        hq_idx = np.nonzero(~n_mask & hq_mask)[0]
-    else:
-        # N reads always go to LQ (reference nReadsLQ / !separateNReads path)
-        n_idx = np.zeros(0, dtype=np.int64)
-        lq_idx = np.nonzero(n_mask | ~hq_mask)[0]
-        hq_idx = np.nonzero(~n_mask & hq_mask)[0]
     codes = reads.codes
+    if B <= 1:
+        hq_mask = fastq.quality_high_mask(
+            reads, params.error_limit_promils / 1000.0, params.simplified_suffix_mode
+        )
+        n_mask = fastq.contains_n_mask(reads)
+        if params.separate_n_reads:
+            n_idx = np.nonzero(n_mask)[0]
+            lq_idx = np.nonzero(~n_mask & ~hq_mask)[0]
+            hq_idx = np.nonzero(~n_mask & hq_mask)[0]
+        else:
+            # N reads always go to LQ (reference nReadsLQ / !separateNReads path)
+            n_idx = np.zeros(0, dtype=np.int64)
+            lq_idx = np.nonzero(n_mask | ~hq_mask)[0]
+            hq_idx = np.nonzero(~n_mask & hq_mask)[0]
+    else:
+        # idx arrays are absent from the stage-4 ckpt (B=5 resume skips the
+        # stages that would read them)
+        empty = np.zeros(0, dtype=np.int64)
+        hq_idx = ck.get("hq_idx", empty)
+        lq_idx = ck.get("lq_idx", empty)
+        n_idx = ck.get("n_idx", empty)
     t["div"] = time.time() - t0
+    if E == 1:
+        _save_ckpt(params, 1, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx)
+        return stats
 
     # ---- stage 2: generator-based division ----
     t0 = time.time()
-    if params.gen_quality_coef > 0 and hq_idx.size > 1:
-        res = greedy_scs.find_overlaps(codes[hq_idx], coef=params.gen_quality_coef)
-        keep = greedy_scs.both_sides_overlapped(res)
-        lq_idx = np.concatenate([lq_idx, hq_idx[~keep]])
-        lq_idx.sort()
-        hq_idx = hq_idx[keep]
+    if B <= 2:
+        if params.gen_quality_coef > 0 and hq_idx.size > 1:
+            res = greedy_scs.find_overlaps(codes[hq_idx], coef=params.gen_quality_coef)
+            keep = greedy_scs.both_sides_overlapped(res)
+            lq_idx = np.concatenate([lq_idx, hq_idx[~keep]])
+            lq_idx.sort()
+            hq_idx = hq_idx[keep]
     t["pgdiv"] = time.time() - t0
+    if E == 2:
+        _save_ckpt(params, 2, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx)
+        return stats
 
     # ---- stage 3: HQ pg generation ----
     t0 = time.time()
-    hq_pg, hq_order, hq_pos = greedy_scs.generate_pseudogenome(codes[hq_idx])
-    hq_org = hq_idx[hq_order] if hq_idx.size else np.zeros(0, dtype=np.int64)
+    if B <= 3:
+        hq_pg, hq_order, hq_pos = greedy_scs.generate_pseudogenome(codes[hq_idx])
+        hq_org = hq_idx[hq_order] if hq_idx.size else np.zeros(0, dtype=np.int64)
+    else:
+        hq_pg = ck["hq_pg"]
+        # present in the stage-3 ckpt; the stage-4 ckpt (B=5 resume) carries
+        # the merged entries instead
+        hq_org = ck.get("hq_org", np.zeros(0, dtype=np.int64))
+        hq_pos = ck.get("hq_pos", np.zeros(0, dtype=np.int64))
     t["good"] = time.time() - t0
+    if E == 3:
+        _save_ckpt(params, 3, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx,
+                   hq_pg=hq_pg, hq_org=hq_org, hq_pos=hq_pos)
+        return stats
 
     # ---- stage 4: map LQ (and N) reads onto HQ pg ----
     t0 = time.time()
+    if B > 4:
+        hq_entries = {k[2:]: ck[k] for k in ck if k.startswith("e_")}
+        stats.matched_count = int(ck["matched_count"])
+        stats.hq_count = hq_entries["org"].size
+        t["match"] = 0.0
+        empty = np.zeros(0, dtype=np.int64)
+        stage5 = None
+        if "lq_pg" in ck:  # B = 6: stage-5 outputs come from the ckpt too
+            stage5 = (ck["lq_pg"], ck["lq_org"], ck["lq_pos"],
+                      ck["n_pg"], ck["n_org"], ck["n_pos"])
+        return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
+                            ck.get("lq_un", empty), ck.get("n_un", empty),
+                            out_path, stage5)
     cand_idx = np.concatenate([lq_idx, n_idx]) if params.separate_n_reads else lq_idx
     n_begin = lq_idx.size
     if cand_idx.size and hq_pg.size >= L:
@@ -204,20 +262,50 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
         perm, hq_entries["mis_cnt"], mis_src_cum, m_sym, m_off
     )
     stats.hq_count = base_cnt + m_org.size
-    t["match"] = time.time() - t0
-
-    # ---- stage 5: LQ pg and N pg from unmatched reads ----
-    t0 = time.time()
     unmatched = ~matched
     lq_un = cand_idx[unmatched & (np.arange(cand_idx.size) < n_begin)]
     n_un = cand_idx[unmatched & (np.arange(cand_idx.size) >= n_begin)]
-    lq_pg, lq_order, lq_pos = greedy_scs.generate_pseudogenome(codes[lq_un])
-    lq_org = lq_un[lq_order] if lq_un.size else np.zeros(0, dtype=np.int64)
-    n_pg, n_order, n_pos = greedy_scs.generate_pseudogenome(codes[n_un])
-    n_org = n_un[n_order] if n_un.size else np.zeros(0, dtype=np.int64)
+    t["match"] = time.time() - t0
+    if E == 4:
+        _save_ckpt(params, 4, lq_un=lq_un, n_un=n_un,
+                   matched_count=np.int64(stats.matched_count),
+                   e_pos=hq_entries["pos"], e_org=hq_entries["org"],
+                   e_rc=hq_entries["rc"], e_mis_cnt=hq_entries["mis_cnt"],
+                   e_mis_sym=hq_entries["mis_sym"], e_mis_off=hq_entries["mis_off"],
+                   hq_pg=hq_pg)
+        return stats
+    return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
+                        lq_un, n_un, out_path)
+
+
+def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
+                 out_path, stage5=None):
+    """Stage 5 (LQ/N pgs) + archive write (stages 6-7)."""
+    import time
+
+    L = stats.read_len
+    n_total = stats.reads_total
+
+    # ---- stage 5: LQ pg and N pg from unmatched reads ----
+    t0 = time.time()
+    if stage5 is not None:
+        lq_pg, lq_org, lq_pos, n_pg, n_org, n_pos = stage5
+    else:
+        lq_pg, lq_order, lq_pos = greedy_scs.generate_pseudogenome(codes[lq_un])
+        lq_org = lq_un[lq_order] if lq_un.size else np.zeros(0, dtype=np.int64)
+        n_pg, n_order, n_pos = greedy_scs.generate_pseudogenome(codes[n_un])
+        n_org = n_un[n_order] if n_un.size else np.zeros(0, dtype=np.int64)
     stats.lq_count, stats.n_count = lq_org.size, n_org.size
     stats.hq_pg_len, stats.lq_pg_len, stats.n_pg_len = len(hq_pg), len(lq_pg), len(n_pg)
     t["bad"] = time.time() - t0
+    if params.end_stage == 5:
+        _save_ckpt(params, 5, lq_pg=lq_pg, lq_org=lq_org, lq_pos=lq_pos,
+                   n_pg=n_pg, n_org=n_org, n_pos=n_pos, hq_pg=hq_pg,
+                   matched_count=np.int64(stats.matched_count),
+                   e_pos=hq_entries["pos"], e_org=hq_entries["org"],
+                   e_rc=hq_entries["rc"], e_mis_cnt=hq_entries["mis_cnt"],
+                   e_mis_sym=hq_entries["mis_sym"], e_mis_off=hq_entries["mis_off"])
+        return stats
 
     # ---- write archive ----
     t0 = time.time()

@@ -36,6 +36,10 @@ def main(argv=None) -> int:
     ap.add_argument("-r", action="store_true", help="disable rev-compl pair file mode")
     ap.add_argument("-v", action="count", default=0,
                     help="verbosity (-v dev stream logs, -vv trace)")
+    ap.add_argument("-B", type=int, default=1, metavar="N",
+                    help="begin chain at stage N (resume from checkpoint)")
+    ap.add_argument("-E", type=int, default=7, metavar="N",
+                    help="end chain after stage N (persist checkpoint)")
     ap.add_argument("-R", metavar="TSV", default="",
                     help="append a benchmark TSV row to this file (pgrc_res.txt role)")
     ap.add_argument("archive", nargs="?", help="archive path")
@@ -50,8 +54,10 @@ def main(argv=None) -> int:
         ap.error("-i takes at most two files: src [pair]")
 
     from .utils import logchan
+    from .streams import container
 
     logchan.set_verbosity(args.v)
+    container.set_threads(args.t)
 
     t0 = time.time()
     if args.d:
@@ -90,6 +96,8 @@ def main(argv=None) -> int:
         disable_revcomp_pair=args.r,
         verbosity=args.v,
         report_path=args.R,
+        begin_stage=args.B,
+        end_stage=args.E,
     )
     stats = encoder.encode(params)
     total = time.time() - t0

@@ -54,6 +54,13 @@ class PgRCParams:
     verbosity: int = 0              # 0 app, 1 +dev stream logs, 2 +trace
     report_path: str = ""           # append a TSV row per run (pgrc_res.txt role)
 
+    # stage bisection (reference -B/-E, pgrc-params.h:299-317): run stages
+    # begin_stage..end_stage of the 7-stage chain, loading/persisting
+    # intermediate state in tmp_work_dir
+    begin_stage: int = 1
+    end_stage: int = 7
+    tmp_work_dir: str = ""
+
     # chain state
     read_len: int = 0
     revcomp_pair_file: bool = False

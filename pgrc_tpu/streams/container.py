@@ -21,6 +21,14 @@ from .codecs import Codec
 _MAX_WORKERS = 8
 
 
+def set_threads(n: int) -> None:
+    """Set the stream compression pool width (reference numberOfThreads,
+    utils/helper.cpp; 0 keeps the default)."""
+    global _MAX_WORKERS
+    if n > 0:
+        _MAX_WORKERS = n
+
+
 @dataclass
 class CompressionJob:
     """One named stream to compress (reference CompressionJob, CodersLib.h:186)."""

@@ -168,3 +168,18 @@ def test_pe_validation_mode(pe_input):
     encoder.encode(params)
     rep = decoder.validate(d + "/pv.pgtc", p1, p2)
     assert rep["errors"] == 0
+
+
+def test_stage_bisection_identical_archive(se_input):
+    """Running the chain in -E/-B halves must produce the same archive as one
+    shot (reference stage system, pgrc-params.h:299-317)."""
+    path, codes, d = se_input
+    full = PgRCParams(src_fastq=path, output=d + "/bis_full.pgtc")
+    encoder.encode(full)
+    for cut in (2, 4, 5):
+        first = PgRCParams(src_fastq=path, output=d + "/bis.pgtc", end_stage=cut)
+        encoder.encode(first)
+        second = PgRCParams(src_fastq=path, output=d + "/bis.pgtc", begin_stage=cut + 1)
+        encoder.encode(second)
+        with open(d + "/bis_full.pgtc", "rb") as f1, open(d + "/bis.pgtc", "rb") as f2:
+            assert f1.read() == f2.read(), f"cut after stage {cut} diverged"
