@@ -94,21 +94,24 @@ def decode_pair_order(reader: StreamReader, store_file_flags: bool) -> np.ndarra
         file_flag = np.frombuffer(reader.read_one(), dtype=np.uint8)
     n_pairs = flags.shape[0]
     r = n_pairs * 2
-    order = np.empty(r, dtype=np.int64)
-    done = np.zeros(r, dtype=bool)
     # offsets per pair, in encode order
     offs = np.empty(n_pairs, dtype=np.int64)
     offs[flags == 1] = vals8
     offs[flags == 0] = full
-    p = 0
-    i = 0
-    for p in range(n_pairs):
-        while done[i]:
+    from .. import native
+
+    order = native.pair_walk_decode(offs)
+    if order is None:  # pure-python fallback (no compiler in env)
+        order = np.empty(r, dtype=np.int64)
+        done = np.zeros(r, dtype=bool)
+        i = 0
+        for p in range(n_pairs):
+            while done[i]:
+                i += 1
+            order[2 * p] = i
+            order[2 * p + 1] = i + offs[p]
+            done[i + offs[p]] = True
             i += 1
-        order[2 * p] = i
-        order[2 * p + 1] = i + offs[p]
-        done[i + offs[p]] = True
-        i += 1
     if file_flag is not None:
         # swap pairs whose base read came from the pair file so that even
         # output slots always hold file-1 reads

@@ -15,7 +15,8 @@ import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libpgrc_native.so")
-_SOURCES = [os.path.join(_HERE, "rangecoder.cpp")]
+_SOURCES = [os.path.join(_HERE, "rangecoder.cpp"),
+            os.path.join(_HERE, "pairwalk.cpp")]
 
 _lock = threading.Lock()
 _lib_handle = None
@@ -64,6 +65,11 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
         ]
+        lib.pair_walk_decode.restype = ctypes.c_int32
+        lib.pair_walk_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib_handle = lib
     return _lib_handle
 
@@ -78,6 +84,25 @@ def rc_encode(data: bytes, order: int, period: int, nsym: int) -> bytes | None:
     if n < 0:
         return None
     return out.raw[:n]
+
+
+def pair_walk_decode(offs):
+    """offs: int64 numpy array of per-pair offsets -> int64 order array
+    [2*n_pairs], or None when native is unavailable / input malformed."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    out = np.empty(offs.size * 2, dtype=np.int64)
+    rc = lib.pair_walk_decode(
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), offs.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def rc_decode(data: bytes, count: int, order: int, period: int, nsym: int) -> bytes | None:
