@@ -56,6 +56,12 @@ def read_fastq(path: str) -> ReadsSet:
     """Parse a FASTQ file of constant-length reads into code/quality matrices."""
     with open(path, "rb") as f:
         buf = f.read()
+    from .. import native
+
+    fast = native.fastq_parse(buf)
+    if fast is not None:
+        codes, quality = fast
+        return ReadsSet(codes=codes, quality=quality, read_len=codes.shape[1])
     data, starts, lengths = _split_lines_matrix(buf)
     nlines = starts.size
     if nlines % 4:
@@ -156,15 +162,16 @@ def contains_n_mask(reads: ReadsSet) -> np.ndarray:
 def write_reads_lines(path: str, codes: np.ndarray) -> None:
     """Write a [N, L] code matrix as ASCII read lines (decoder output format;
     the reference also emits bare read lines, pgrc-decoder.cpp:160-165)."""
-    n, L = codes.shape
-    out = np.empty((n, L + 1), dtype=np.uint8)
-    out[:, :L] = dna.VAL2SYM[codes]
-    out[:, L] = ord("\n")
     with open(path, "wb") as f:
-        f.write(out.tobytes())
+        f.write(reads_lines_bytes(codes))
 
 
 def reads_lines_bytes(codes: np.ndarray) -> bytes:
+    from .. import native
+
+    fast = native.reads_write_lines(codes)
+    if fast is not None:
+        return fast
     n, L = codes.shape
     out = np.empty((n, L + 1), dtype=np.uint8)
     out[:, :L] = dna.VAL2SYM[codes]

@@ -16,7 +16,8 @@ import threading
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libpgrc_native.so")
 _SOURCES = [os.path.join(_HERE, "rangecoder.cpp"),
-            os.path.join(_HERE, "pairwalk.cpp")]
+            os.path.join(_HERE, "pairwalk.cpp"),
+            os.path.join(_HERE, "fastqio.cpp")]
 
 _lock = threading.Lock()
 _lib_handle = None
@@ -70,8 +71,83 @@ def get_lib():
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.fastq_parse.restype = ctypes.c_int64
+        lib.fastq_parse.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                    i64p, u8p, u8p]
+        lib.lines_parse.restype = ctypes.c_int64
+        lib.lines_parse.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                    i64p, u8p]
+        lib.reads_write_lines.restype = None
+        lib.reads_write_lines.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u8p]
         _lib_handle = lib
     return _lib_handle
+
+
+def _u8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def fastq_parse(buf: bytes):
+    """Parse a FASTQ buffer -> (codes [N,L] uint8, quality [N,L] uint8) or
+    None when native is unavailable or the input is irregular."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not buf:
+        return None
+    # upper bound on reads: every record is >= 7 bytes ('@\nA\n+\nI\n')
+    max_reads = len(buf) // 7 + 1
+    rl = ctypes.c_int64(0)
+    bview = np.frombuffer(buf, dtype=np.uint8)
+    # probe first record length to size the matrices tightly
+    first_nl = buf.find(b"\n")
+    second_nl = buf.find(b"\n", first_nl + 1)
+    if first_nl < 0 or second_nl < 0:
+        return None
+    L = second_nl - first_nl - 1
+    approx = len(buf) // (L * 2 + 6) + 2
+    codes = np.empty((approx, L), dtype=np.uint8)
+    qual = np.empty((approx, L), dtype=np.uint8)
+    rl.value = L
+    n = lib.fastq_parse(_u8p(bview), len(buf), approx, ctypes.byref(rl),
+                        _u8p(codes), _u8p(qual))
+    if n < 0:
+        return None
+    return codes[:n].copy(), qual[:n].copy()
+
+
+def lines_parse(buf: bytes, read_len: int = 0):
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or not buf:
+        return None
+    if read_len == 0:
+        first_nl = buf.find(b"\n")
+        read_len = first_nl if first_nl > 0 else len(buf)
+    approx = len(buf) // (read_len + 1) + 2
+    codes = np.empty((approx, read_len), dtype=np.uint8)
+    rl = ctypes.c_int64(read_len)
+    bview = np.frombuffer(buf, dtype=np.uint8)
+    n = lib.lines_parse(_u8p(bview), len(buf), approx, ctypes.byref(rl), _u8p(codes))
+    if n < 0:
+        return None
+    return codes[:n].copy()
+
+
+def reads_write_lines(codes) -> bytes | None:
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n, L = codes.shape
+    out = np.empty(n * (L + 1), dtype=np.uint8)
+    lib.reads_write_lines(_u8p(codes), n, L, _u8p(out))
+    return out.tobytes()
 
 
 def rc_encode(data: bytes, order: int, period: int, nsym: int) -> bytes | None:
