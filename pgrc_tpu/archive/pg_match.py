@@ -23,9 +23,13 @@ from ..streams.varlen_dna import MARK
 from ..utils import dna
 from ..utils.varint import encode_varints, decode_varints, write_varint, read_varint
 
-ANCHOR_K = 32
-SRC_STRIDE = 8
-DEST_STRIDE = 8
+# copMEM sampling guarantee (CopMEMMatcher.cpp:111-137): with coprime strides
+# k1 (source) and k2 (query), every exact match of length >= k + k1*k2 - 1
+# contains a sampled source k-mer aligned with a probed query k-mer (CRT on
+# the diagonal). 24 + 7*3 - 1 = 44 <= default target length 45.
+ANCHOR_K = 24
+SRC_STRIDE = 7
+DEST_STRIDE = 3
 CAP = 4
 EXTEND_BLOCK = 64
 
