@@ -67,31 +67,37 @@ def _find_matches(src: np.ndarray, index, query: np.ndarray, min_len: int) -> np
     spos, qpos = spos[ok], qpos[ok]
     if spos.size == 0:
         return np.zeros((0, 3), dtype=np.int64)
-    left = _extend(src, query, spos, qpos, direction=-1)
-    right = _extend(src, query, spos + ANCHOR_K, qpos + ANCHOR_K, direction=+1)
-    s0 = spos - left
-    q0 = qpos - left
-    length = left + ANCHOR_K + right
-    keep = length >= min_len
-    m = np.stack([s0[keep], q0[keep], length[keep]], axis=1)
+    # anchors on one diagonal inside one maximal run are redundant — extending
+    # each would redo O(run length) work per anchor (quadratic on a
+    # pg-sized repeat). Iteratively: extend only the FIRST remaining anchor
+    # per diagonal, then discard anchors covered by the found runs.
+    diag = spos - qpos
+    order = np.lexsort((qpos, diag))
+    spos, qpos, diag = spos[order], qpos[order], diag[order]
+    dedup = np.ones(spos.size, dtype=bool)
+    dedup[1:] = (diag[1:] != diag[:-1]) | (qpos[1:] != qpos[:-1])
+    spos, qpos, diag = spos[dedup], qpos[dedup], diag[dedup]
+    runs = []
+    while spos.size:
+        first = np.ones(spos.size, dtype=bool)
+        first[1:] = diag[1:] != diag[:-1]
+        fs, fq = spos[first], qpos[first]
+        left = _extend(src, query, fs, fq, direction=-1)
+        right = _extend(src, query, fs + ANCHOR_K, fq + ANCHOR_K, direction=+1)
+        q0 = fq - left
+        s0 = fs - left
+        ln = left + ANCHOR_K + right
+        runs.append(np.stack([s0, q0, ln], axis=1))
+        # drop anchors whose k-mer lies inside a run found on their diagonal
+        run_of_anchor = np.cumsum(first) - 1      # index into this pass's runs
+        covered = (qpos >= q0[run_of_anchor]) & \
+                  (qpos + ANCHOR_K <= q0[run_of_anchor] + ln[run_of_anchor])
+        spos, qpos, diag = spos[~covered], qpos[~covered], diag[~covered]
+    m = np.concatenate(runs, axis=0)
+    m = m[m[:, 2] >= min_len]
     if m.size == 0:
-        return m
-    m = np.unique(m, axis=0)
-    # drop matches fully contained in another with same diagonal
-    diag = m[:, 0] - m[:, 1]
-    order = np.lexsort((-m[:, 2], m[:, 1], diag))
-    m = m[order]
-    keep = np.ones(m.shape[0], dtype=bool)
-    prev_end = -1
-    prev_diag = None
-    for i in range(m.shape[0]):
-        d = m[i, 0] - m[i, 1]
-        if prev_diag == d and m[i, 1] + m[i, 2] <= prev_end:
-            keep[i] = False
-            continue
-        prev_diag = d
-        prev_end = max(prev_end if prev_diag == d else -1, m[i, 1] + m[i, 2])
-    return m[keep]
+        return np.zeros((0, 3), dtype=np.int64)
+    return np.unique(m, axis=0)
 
 
 def _extend(src, query, spos, qpos, direction: int) -> np.ndarray:
