@@ -48,28 +48,18 @@ def _window_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     n = codes.shape[0]
     if n < k:
         return np.zeros(0, dtype=np.uint32)
-    inv_pows = np.empty(n, dtype=np.uint32)
-    v = 1
-    binv = int(HASH_BASE_INV)
-    for j in range(n):
-        inv_pows[j] = v
-        v = (v * binv) & 0xFFFFFFFF
+    # inv_pows[j] = B^-j; uint32 cumprod wraps mod 2^32, which IS the hash ring
+    inv_pows = np.full(n, np.uint32(HASH_BASE_INV), dtype=np.uint32)
+    inv_pows[0] = 1
+    np.cumprod(inv_pows, out=inv_pows)
     s = np.zeros(n + 1, dtype=np.uint32)
     np.cumsum(codes.astype(np.uint32) * inv_pows, out=s[1:], dtype=np.uint32)
-    pows = np.empty(n, dtype=np.uint32)
-    v = 1
-    b = int(HASH_BASE)
-    for j in range(n):
-        pows[j] = v
-        v = (v * b) & 0xFFFFFFFF
-    i = np.arange(n - k + 1)
-    # H(i) = (S[i+k] - S[i]) * B^(i + k - 1)
-    exp = (i + k - 1) % _POW_PERIOD if False else None
-    return (s[i + k] - s[i]) * _pow_at(i + k - 1)
-
-
-_POW_PERIOD = None
-_POW_CACHE: dict[int, np.ndarray] = {}
+    nwin = n - k + 1
+    # H(i) = (S[i+k] - S[i]) * B^(i + k - 1): consecutive powers via cumprod
+    mult = np.full(nwin, np.uint32(HASH_BASE), dtype=np.uint32)
+    mult[0] = np.uint32(pow(int(HASH_BASE), k - 1, 1 << 32))
+    np.cumprod(mult, out=mult)
+    return (s[k : k + nwin] - s[:nwin]) * mult
 
 
 def _pow_at(exps: np.ndarray) -> np.ndarray:

@@ -116,73 +116,104 @@ def _build_sweep_fn(n: int, L: int):
     pows = _pow_table(L)
     inv = np.uint32(HASH_BASE_INV)
     big = np.int64(1) << np.int64(32)
+    big2 = np.int64(1) << np.int64(34)  # above any (hash << 1 | side) key
+
+    m = 2 * n  # combined table: entries [0,n) = prefixes, [n,2n) = suffixes
 
     def round_fn(i, codes, h, p, active_s, active_p, succ, ovl):
         # --- rolling hash updates (suffix drops codes[:, i-1], prefix drops
-        #     codes[:, L-i]) ---
+        #     codes[:, L-i]) — these run every round even if matching is
+        #     skipped, the recurrences are cumulative ---
         ci = jax.lax.dynamic_slice_in_dim(codes, i - 1, 1, axis=1)[:, 0].astype(jnp.uint32)
         h = h - ci * jnp.asarray(pows)[L - i]
         cm = jax.lax.dynamic_slice_in_dim(codes, L - i, 1, axis=1)[:, 0].astype(jnp.uint32)
         p = (p - cm) * inv
 
-        # --- composite sort keys: inactive entries sort to the end ---
-        idx = jnp.arange(n, dtype=jnp.int32)
-        ks = jnp.where(active_s, h.astype(jnp.int64), big + idx.astype(jnp.int64))
-        kp = jnp.where(active_p, p.astype(jnp.int64), big + idx.astype(jnp.int64))
-        ks_sorted, sidx = jax.lax.sort((ks, idx), num_keys=1)
-        kp_sorted, pidx = jax.lax.sort((kp, idx), num_keys=1)
+        def do_match(args):
+            h, p, active_s, active_p, succ, ovl = args
+            # --- ONE sort of the combined (hash, side) table; prefixes
+            # (side 0) sort before suffixes (side 1) inside an equal-hash
+            # group, so partner lookup is pure rank arithmetic — no
+            # searchsorted (jnp.searchsorted's scan path is ~80 ms per call
+            # at this size on TPU; this whole round is ~20 ms) ---
+            pos2 = jnp.arange(m, dtype=jnp.int32)
+            side = (pos2 >= n).astype(jnp.int64)  # 0=prefix, 1=suffix
+            hash_all = jnp.concatenate([p, h]).astype(jnp.int64)
+            act_all = jnp.concatenate([active_p, active_s])
+            key = jnp.where(act_all, (hash_all << 1) | side,
+                            big2 + pos2.astype(jnp.int64))
+            key_sorted, elem = jax.lax.sort((key, pos2), num_keys=1)
 
-        # --- rank of each suffix within its equal-key group ---
-        pos = jnp.arange(n, dtype=jnp.int32)
-        new_group = jnp.concatenate(
-            [jnp.ones(1, dtype=jnp.bool_), ks_sorted[1:] != ks_sorted[:-1]]
+            valid_elem = key_sorted < big2
+            ghash = key_sorted >> 1
+            is_suf = ((key_sorted & 1) == 1) & valid_elem
+            is_pref = ((key_sorted & 1) == 0) & valid_elem
+            new_group = jnp.concatenate(
+                [jnp.ones(1, dtype=jnp.bool_), ghash[1:] != ghash[:-1]]
+            ) | ~valid_elem
+            group_start = jax.lax.cummax(jnp.where(new_group, pos2, 0))
+
+            # prefix ordinal (exclusive cumsum) and ordinal->position table
+            cps = jnp.cumsum(is_pref.astype(jnp.int32)) - is_pref.astype(jnp.int32)
+            pref_pos = jnp.zeros((m,), dtype=jnp.int32).at[
+                jnp.where(is_pref, cps, m)
+            ].set(pos2, mode="drop")
+
+            cps_gs = jnp.take(cps, group_start)
+            suf_rank = (pos2 - group_start) - (cps - cps_gs)
+            partner_ord = cps_gs + suf_rank
+            partner_q = jnp.take(pref_pos, jnp.clip(partner_ord, 0, m - 1))
+            # partner prefix must exist AND belong to the same group
+            n_pref_total = cps[-1] + is_pref[-1].astype(jnp.int32)
+            valid = (
+                is_suf
+                & (partner_ord < n_pref_total)
+                & (jnp.take(group_start, partner_q) == group_start)
+            )
+            me = jnp.where(is_suf, elem - n, 0)  # read index of this suffix
+            partner = jnp.take(elem, partner_q)  # read index of matched prefix
+
+            # --- self-pair fix: suffixes of a group are contiguous, so the
+            # next rank is simply pos2+1; swap partners with it ---
+            self_pair = valid & (partner == me)
+            nxt_same = jnp.concatenate([~new_group[1:], jnp.zeros(1, dtype=jnp.bool_)])
+            nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=jnp.bool_)])
+            can_swap = self_pair & nxt_same & nxt_valid
+            prev_can_swap = jnp.concatenate([jnp.zeros(1, dtype=jnp.bool_), can_swap[:-1]])
+            partner_next = jnp.concatenate([partner[1:], partner[:1]])
+            partner_prev = jnp.concatenate([partner[:1], partner[:-1]])
+            partner = jnp.where(can_swap, partner_next, partner)
+            partner = jnp.where(prev_can_swap, partner_prev, partner)
+            valid = valid & (partner != me)
+
+            # --- compact candidates to one per read ([n] arrays) so the
+            # exact-verify gather stays n rows, not 2n ---
+            cand = jnp.full((n,), -1, dtype=jnp.int32).at[
+                jnp.where(valid, me, n)
+            ].set(jnp.where(valid, partner, -1), mode="drop")
+
+            # --- exact verification: codes[r, i:] == codes[cand[r], :L-i] ---
+            has_cand = cand >= 0
+            pr_c = jnp.clip(cand, 0, n - 1)
+            rb = jnp.take(codes, pr_c, axis=0)
+            ra_shift = _roll_rows(jnp, codes, i)
+            keep_mask = jnp.arange(L, dtype=jnp.int32)[None, :] < (L - i)
+            eq = jnp.where(keep_mask, ra_shift == rb, True).all(axis=1)
+            matched = has_cand & eq
+
+            # --- apply links ---
+            ovl_new = jnp.int32(L) - i.astype(jnp.int32)
+            succ = jnp.where(matched, cand, succ)
+            ovl = jnp.where(matched, ovl_new, ovl)
+            active_s = active_s & ~matched
+            active_p = active_p.at[jnp.where(matched, cand, n)].set(False, mode="drop")
+            return h, p, active_s, active_p, succ, ovl
+
+        some_work = active_s.any() & active_p.any()
+        return jax.lax.cond(
+            some_work, do_match, lambda a: (h, p) + a[2:],
+            (h, p, active_s, active_p, succ, ovl),
         )
-        group_start = jax.lax.cummax(jnp.where(new_group, pos, 0))
-        rank = pos - group_start
-
-        # --- matching prefix-group range for each suffix key ---
-        lo = jnp.searchsorted(kp_sorted, ks_sorted, side="left")
-        hi = jnp.searchsorted(kp_sorted, ks_sorted, side="right")
-        partner_pos = lo + rank
-        valid = (partner_pos < hi) & (ks_sorted < big)
-        partner_pos_c = jnp.clip(partner_pos, 0, n - 1)
-        partner = pidx[partner_pos_c]
-        me = sidx
-
-        # --- self-pair fix: swap partners with the next rank in the group ---
-        self_pair = valid & (partner == me)
-        nxt_same = jnp.concatenate([new_group[1:] == False, jnp.zeros(1, dtype=jnp.bool_)])  # noqa: E712
-        nxt_valid = jnp.concatenate([valid[1:], jnp.zeros(1, dtype=jnp.bool_)])
-        can_swap = self_pair & nxt_same & nxt_valid
-        prev_can_swap = jnp.concatenate([jnp.zeros(1, dtype=jnp.bool_), can_swap[:-1]])
-        partner_next = jnp.concatenate([partner[1:], partner[:1]])
-        partner_prev = jnp.concatenate([partner[:1], partner[:-1]])
-        partner = jnp.where(can_swap, partner_next, partner)
-        partner = jnp.where(prev_can_swap, partner_prev, partner)
-        # drop any pair that is still reflexive
-        valid = valid & (partner != me)
-
-        # --- exact verification: codes[me, i:] == codes[partner, :L-i] ---
-        me_c = jnp.clip(me, 0, n - 1)
-        pr_c = jnp.clip(partner, 0, n - 1)
-        ra = jnp.take(codes, me_c, axis=0)
-        rb = jnp.take(codes, pr_c, axis=0)
-        ra_shift = _roll_rows(jnp, ra, i)
-        keep_mask = jnp.arange(L, dtype=jnp.int32)[None, :] < (L - i)
-        eq = jnp.where(keep_mask, ra_shift == rb, True).all(axis=1)
-        matched = valid & eq
-
-        # --- apply links ---
-        ovl_new = jnp.int32(L) - i.astype(jnp.int32)
-        succ = succ.at[jnp.where(matched, me, n)].set(
-            jnp.where(matched, partner, -1), mode="drop"
-        )
-        ovl = ovl.at[jnp.where(matched, me, n)].set(
-            jnp.where(matched, ovl_new, 0), mode="drop"
-        )
-        active_s = active_s.at[jnp.where(matched, me, n)].set(False, mode="drop")
-        active_p = active_p.at[jnp.where(matched, partner, n)].set(False, mode="drop")
-        return h, p, active_s, active_p, succ, ovl
 
     def dup_part(codes, h, nreal):
         idx = jnp.arange(n, dtype=jnp.int32)
@@ -209,7 +240,12 @@ def _build_sweep_fn(n: int, L: int):
         active_p = ~has_pred & real
         return succ, ovl, active_s, active_p
 
-    def sweep_fn(codes, h0, nreal, iters):
+    def sweep_fn(codes, nreal, iters):
+        # initial full-read hash on device: h0[r] = sum_j codes[r,j] * B^(L-1-j)
+        # (uint32 accumulate == mod-2^32 polynomial hash, exact)
+        h0 = (codes.astype(jnp.uint32) * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
+            axis=1, dtype=jnp.uint32
+        )
         succ, ovl, active_s, active_p = dup_part(codes, h0, nreal)
 
         def body(i, carry):
@@ -260,13 +296,8 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
     sweep_fn = _ROUND_CACHE[key]
 
     codes_d = jnp.asarray(codes)
-    pows = _pow_table(L)
-    # initial hashes: full read (suffix i=0 == prefix m=L)
-    h0 = (codes.astype(np.uint32) * pows[L - 1 :: -1][None, : L]).sum(
-        axis=1, dtype=np.uint32
-    )
     iters = int(L * coef)
-    succ, ovl = sweep_fn(codes_d, jnp.asarray(h0), jnp.int32(n), jnp.int32(iters))
+    succ, ovl = sweep_fn(codes_d, jnp.int32(n), jnp.int32(iters))
     # device_get, not np.asarray: the __array__ readback path stalls ~10 s
     # per call on a tunneled TPU, device_get transfers in ms
     import jax
