@@ -113,51 +113,56 @@ def build_index(
     return KmerIndex(starts=starts, positions=pos_sorted, k=k, k1=k1, bits=bits, pg_len=n)
 
 
-def _build_probe_fn(n_reads: int, L: int, n_probes: int, cap: int, k: int, bits: int,
+def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits: int,
                     pg_lanes_len: int, max_mis: int):
-    """Jitted probe+verify over a read batch (one strand)."""
+    """Jitted probe+verify over a read batch.
+
+    uint64 pg lanes (half the gathered elements of the u32 layout — TPU
+    gathers cost per element), int32 CSR arrays, static probe-offset tuple
+    so progressive passes (few probes first, full fan-out only for the
+    stragglers) compile separate lean programs."""
     jax, jnp = _jax()
-    W = packed.num_lanes(L)
+    W2 = packed.num_lanes64(L)
+    n_probes = len(probe_offs)
+    probe_off_np = np.asarray(probe_offs, dtype=np.int32)
 
     # tail mask for the last read lane
-    tail = L - (W - 1) * packed.SYMS_PER_LANE
-    lane_mask = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
-    lane_mask[W - 1] = (0xFFFFFFFF << (32 - 2 * tail)) & 0xFFFFFFFF if tail < 16 else 0xFFFFFFFF
-    lane_mask = lane_mask.astype(np.uint32)
+    tail = L - (W2 - 1) * packed.SYMS_PER_LANE64
+    lane_mask = np.full(W2, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
+    if tail < packed.SYMS_PER_LANE64:
+        lane_mask[W2 - 1] = np.uint64((0xFFFFFFFFFFFFFFFF << (64 - 2 * tail)) & 0xFFFFFFFFFFFFFFFF)
 
     def probe_fn(read_lanes, probe_hashes, starts, positions, pg_lanes, pg_len):
         # probe_hashes: [R, S] uint32 -> bucket ids
-        bid = (probe_hashes >> jnp.uint32(32 - bits)).astype(jnp.int64)
-        lo = starts[bid]                    # [R, S]
-        cnt = starts[bid + 1] - lo
-        cslot = jnp.arange(cap, dtype=jnp.int64)
+        bid = (probe_hashes >> jnp.uint32(32 - bits)).astype(jnp.int32)
+        lo = jnp.take(starts, bid)          # [R, S]
+        cnt = jnp.take(starts, bid + 1) - lo
+        cslot = jnp.arange(cap, dtype=jnp.int32)
         cand_idx = lo[:, :, None] + cslot[None, None, :]
         cand_valid = cslot[None, None, :] < cnt[:, :, None]
         cand_idx = jnp.clip(cand_idx, 0, positions.shape[0] - 1)
         text_pos = jnp.take(positions, cand_idx)      # [R, S, C] sampled pg pos
-        probe_off = jnp.arange(n_probes, dtype=jnp.int64) * DEFAULT_K2
-        start_pos = text_pos - probe_off[None, :, None]
+        start_pos = text_pos - jnp.asarray(probe_off_np)[None, :, None]
         in_range = (start_pos >= 0) & (start_pos <= pg_len - L) & cand_valid
         start_c = jnp.clip(start_pos, 0, jnp.maximum(pg_len - L, 0))
 
         # --- packed verify: align pg lanes to read lane grid ---
-        q = (start_c >> 4).astype(jnp.int64)          # lane index
-        r = (start_c & 15).astype(jnp.uint32)         # symbol offset in lane
-        lane_ids = q[..., None] + jnp.arange(W + 1, dtype=jnp.int64)[None, None, None, :]
+        q = (start_c >> 5).astype(jnp.int32)          # u64-lane index
+        r = (start_c & 31).astype(jnp.uint64)         # symbol offset in lane
+        lane_ids = q[..., None] + jnp.arange(W2 + 1, dtype=jnp.int32)[None, None, None, :]
         lane_ids = jnp.clip(lane_ids, 0, pg_lanes_len - 1)
-        tl = jnp.take(pg_lanes, lane_ids)             # [R, S, C, W+1]
-        sh = (r * 2)[..., None]
-        hi = tl[..., :W] << sh
+        tl = jnp.take(pg_lanes, lane_ids)             # [R, S, C, W2+1] u64
+        sh = (r * jnp.uint64(2))[..., None]
+        hi = tl[..., :W2] << sh
         lo_part = jnp.where(
-            sh > 0, tl[..., 1 : W + 1] >> (jnp.uint32(32) - sh), jnp.uint32(0)
+            sh > 0, tl[..., 1 : W2 + 1] >> (jnp.uint64(64) - sh), jnp.uint64(0)
         )
         aligned = (hi | lo_part) & jnp.asarray(lane_mask)[None, None, None, :]
         x = aligned ^ read_lanes[:, None, None, :]
-        y = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
-        mis = packed.popcount_u32(y).sum(axis=-1)     # [R, S, C]
-        mis = jnp.where(in_range, mis, 255)
+        y = (x | (x >> jnp.uint64(1))) & jnp.uint64(0x5555555555555555)
+        mis = packed.popcount_u64(y).sum(axis=-1)     # [R, S, C]
         # deterministic best: (mismatches, position) lexicographic min
-        score = mis.astype(jnp.int64) * (jnp.int64(1) << 44) + start_c
+        score = mis.astype(jnp.int64) * (jnp.int64(1) << 44) + start_c.astype(jnp.int64)
         score = jnp.where(in_range, score, jnp.int64(255) << 44)
         best = score.reshape(n_reads, -1).min(axis=1)
         best_mis = (best >> 44).astype(jnp.int32)
@@ -171,13 +176,12 @@ def _build_probe_fn(n_reads: int, L: int, n_probes: int, cap: int, k: int, bits:
 _PROBE_CACHE: dict[tuple, object] = {}
 
 
-def _read_probe_hashes(codes: np.ndarray, k: int, k2: int) -> np.ndarray:
-    """[R, S] uint32 probe hashes at offsets 0, k2, 2*k2, ... per read."""
+def _read_probe_hashes(codes: np.ndarray, k: int, offs: np.ndarray) -> np.ndarray:
+    """[R, S] uint32 probe hashes at the given read offsets."""
     n, L = codes.shape
-    offs = np.arange(0, L - k + 1, k2, dtype=np.int64)
     pows = _pow_at(np.arange(k - 1, -1, -1))
     # hash per offset: sum codes[:, o+t] * B^(k-1-t)
-    out = np.zeros((n, offs.size), dtype=np.uint32)
+    out = np.zeros((n, len(offs)), dtype=np.uint32)
     for si, o in enumerate(offs):
         out[:, si] = (codes[:, o : o + k].astype(np.uint32) * pows[None, :]).sum(
             axis=1, dtype=np.uint32
@@ -185,11 +189,45 @@ def _read_probe_hashes(codes: np.ndarray, k: int, k2: int) -> np.ndarray:
     return out
 
 
+def probe_offsets(L: int, k: int, k2: int) -> tuple:
+    return tuple(int(o) for o in range(0, L - k + 1, k2))
+
+
 @dataclass
 class MatchResult:
     pos: np.ndarray       # [R] int64, -1 = unmatched
     rc: np.ndarray        # [R] bool
     mis: np.ndarray       # [R] uint8 (255 = unmatched)
+
+
+def _probe_batch(rows_lanes64, rows_hashes, offs, cap, index, dev, max_mis, L):
+    """Probe a [R,*] row batch (already strand-expanded) in bucketed chunks."""
+    jax, jnp = _jax()
+    n = rows_lanes64.shape[0]
+    out_mis = np.full(n, 255, dtype=np.uint8)
+    out_pos = np.full(n, -1, dtype=np.int64)
+    starts_d, positions_d, pg_lanes_d, pg_lanes_len = dev
+    batch = 131072
+    for lo in range(0, n, batch):
+        hi = min(lo + batch, n)
+        bn = hi - lo
+        bsz = _probe_bucket(bn)
+        key = (bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis)
+        if key not in _PROBE_CACHE:
+            _PROBE_CACHE[key] = _build_probe_fn(
+                bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis
+            )
+        probe_fn = _PROBE_CACHE[key]
+        lanes = _pad_rows(rows_lanes64[lo:hi], bsz)
+        ph = _pad_rows(rows_hashes[lo:hi], bsz)
+        mis, pos = probe_fn(
+            jnp.asarray(lanes), jnp.asarray(ph), starts_d, positions_d,
+            pg_lanes_d, index.pg_len,
+        )
+        mis_h, pos_h = jax.device_get((mis, pos))
+        out_mis[lo:hi] = mis_h[:bn]
+        out_pos[lo:hi] = pos_h[:bn]
+    return out_mis, out_pos
 
 
 def match_reads(
@@ -200,8 +238,16 @@ def match_reads(
     cap: int = DEFAULT_CAP,
     k2: int = DEFAULT_K2,
     batch: int = 65536,
+    accept_mis: int = 2,
 ) -> MatchResult:
-    """Match every read (both strands) against the indexed pg."""
+    """Match every read (both strands) against the indexed pg.
+
+    Progressive two-pass probing (the TPU shape of the reference's per-read
+    early exit, CopMEMMatcher.cpp:523-547): pass 1 probes every read (both
+    strands in one batch) at 3 spread offsets with a small candidate cap and
+    accepts hits with <= accept_mis mismatches; only the leftover rows run
+    the full probe fan-out.
+    """
     jax, jnp = _jax()
     n, L = read_codes.shape
     out_pos = np.full(n, -1, dtype=np.int64)
@@ -212,45 +258,61 @@ def match_reads(
 
     # bucket pg-dependent array lengths so the compiled probe program is
     # shared across datasets (pg_len itself stays a dynamic argument)
-    pg_lanes = packed.pack_text_2bit(pg_codes)
+    pg_lanes = packed.widen_lanes_u64(packed.pack_text_2bit(pg_codes)[None, :])[0]
     pg_lanes = _pad_1d(pg_lanes, _probe_bucket(len(pg_lanes)))
-    positions = _pad_1d(index.positions, _probe_bucket(max(index.positions.size, 1)))
-    pg_lanes_d = jnp.asarray(pg_lanes)
-    starts_d = jnp.asarray(index.starts)
-    positions_d = jnp.asarray(positions)
+    positions = _pad_1d(index.positions.astype(np.int32), _probe_bucket(max(index.positions.size, 1)))
+    dev = (
+        jnp.asarray(index.starts.astype(np.int32)),
+        jnp.asarray(positions),
+        jnp.asarray(pg_lanes),
+        len(pg_lanes),
+    )
 
-    n_probes = len(range(0, L - index.k + 1, k2))
+    offs_full = probe_offsets(L, index.k, k2)
+    # pass-1 offsets: 3 spread probes (first / middle / last)
+    if len(offs_full) > 3:
+        offs_p1 = (offs_full[0], offs_full[len(offs_full) // 2], offs_full[-1])
+    else:
+        offs_p1 = offs_full
+    cap_p1 = min(cap, 4)
+
+    # both strands in one row batch: rows [0,n) forward, [n,2n) revcomp
     rc_codes = packed.revcomp_codes_matrix(read_codes)
+    all_codes = np.concatenate([read_codes, rc_codes], axis=0)
+    all_lanes = packed.widen_lanes_u64(packed.pack_2bit(all_codes))
+    hashes_p1 = _read_probe_hashes(all_codes, index.k, offs_p1)
 
-    for lo in range(0, n, batch):
-        hi = min(lo + batch, n)
-        bn = hi - lo
-        bsz = _probe_bucket(bn)
-        key = (bsz, L, n_probes, cap, index.k, index.bits, len(pg_lanes), max_mismatches)
-        if key not in _PROBE_CACHE:
-            _PROBE_CACHE[key] = _build_probe_fn(
-                bsz, L, n_probes, cap, index.k, index.bits, len(pg_lanes), max_mismatches
-            )
-        probe_fn = _PROBE_CACHE[key]
+    mis2, pos2 = _probe_batch(
+        all_lanes, hashes_p1, offs_p1, cap_p1, index, dev, max_mismatches, L
+    )
+    fm, rm = mis2[:n].copy(), mis2[n:].copy()
+    fp, rp = pos2[:n].copy(), pos2[n:].copy()
 
-        fwd = _pad_rows(read_codes[lo:hi], bsz)
-        rev = _pad_rows(rc_codes[lo:hi], bsz)
-        res = {}
-        for strand, codes in (("f", fwd), ("r", rev)):
-            lanes = packed.pack_2bit(codes)
-            ph = _read_probe_hashes(codes, index.k, k2)
-            mis, pos = probe_fn(
-                jnp.asarray(lanes), jnp.asarray(ph), starts_d, positions_d,
-                pg_lanes_d, index.pg_len,
+    # pass 2: full fan-out for reads not accepted in pass 1
+    if len(offs_full) > len(offs_p1) or cap > cap_p1:
+        todo = np.minimum(fm, rm) > accept_mis
+        rows = np.nonzero(todo)[0]
+        if rows.size:
+            sel = np.concatenate([rows, rows + n])
+            hashes_p2 = _read_probe_hashes(all_codes[sel], index.k, offs_full)
+            mis_t, pos_t = _probe_batch(
+                all_lanes[sel], hashes_p2, offs_full, cap, index, dev,
+                max_mismatches, L,
             )
-            mis_h, pos_h = _jax()[0].device_get((mis, pos))
-            res[strand] = (mis_h[:bn], pos_h[:bn])
-        fm, fp = res["f"]
-        rm, rp = res["r"]
-        take_r = rm < fm  # strict: forward wins ties (deterministic)
-        out_mis[lo:hi] = np.where(take_r, rm, fm)
-        out_pos[lo:hi] = np.where(take_r, rp, fp)
-        out_rc[lo:hi] = take_r & (rm != 255)
+            t = rows.size
+            better_f = (mis_t[:t].astype(np.int64) << 44) + np.where(pos_t[:t] >= 0, pos_t[:t], 0) \
+                < (fm[rows].astype(np.int64) << 44) + np.where(fp[rows] >= 0, fp[rows], 0)
+            fm[rows] = np.where(better_f, mis_t[:t], fm[rows])
+            fp[rows] = np.where(better_f, pos_t[:t], fp[rows])
+            better_r = (mis_t[t:].astype(np.int64) << 44) + np.where(pos_t[t:] >= 0, pos_t[t:], 0) \
+                < (rm[rows].astype(np.int64) << 44) + np.where(rp[rows] >= 0, rp[rows], 0)
+            rm[rows] = np.where(better_r, mis_t[t:], rm[rows])
+            rp[rows] = np.where(better_r, pos_t[t:], rp[rows])
+
+    take_r = rm < fm  # strict: forward wins ties (deterministic)
+    out_mis[:] = np.where(take_r, rm, fm)
+    out_pos[:] = np.where(take_r, rp, fp)
+    out_rc[:] = take_r & (rm != 255)
     matched = out_mis != 255
     out_pos[~matched] = -1
     return MatchResult(out_pos, out_rc, out_mis)

@@ -82,6 +82,41 @@ def popcount_u32(x):
     return ((x * xp.uint32(0x01010101)) >> xp.uint32(24)).astype(xp.int32)
 
 
+SYMS_PER_LANE64 = 32  # 2 bits/symbol in a uint64 lane
+
+
+def num_lanes64(read_len: int) -> int:
+    return (read_len + SYMS_PER_LANE64 - 1) // SYMS_PER_LANE64
+
+
+def widen_lanes_u64(lanes_u32):
+    """[..., W] uint32 lanes -> [..., ceil(W/2)] uint64 lanes (same symbol
+    order: earlier symbols in higher bits). Halves the element count of
+    gather-heavy verify kernels (TPU gathers cost per element)."""
+    xp = _xp(lanes_u32)
+    w = lanes_u32.shape[-1]
+    if w % 2:
+        pad_shape = lanes_u32.shape[:-1] + (1,)
+        lanes_u32 = xp.concatenate(
+            [lanes_u32, xp.zeros(pad_shape, dtype=lanes_u32.dtype)], axis=-1
+        )
+        w += 1
+    hi = lanes_u32[..., 0::2].astype(xp.uint64)
+    lo = lanes_u32[..., 1::2].astype(xp.uint64)
+    return (hi << xp.uint64(32)) | lo
+
+
+def popcount_u64(x):
+    """Bit population count of uint64 (SWAR; works in numpy and jnp)."""
+    xp = _xp(x)
+    x = x - ((x >> xp.uint64(1)) & xp.uint64(0x5555555555555555))
+    x = (x & xp.uint64(0x3333333333333333)) + (
+        (x >> xp.uint64(2)) & xp.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> xp.uint64(4))) & xp.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * xp.uint64(0x0101010101010101)) >> xp.uint64(56)).astype(xp.int32)
+
+
 def pack_text_2bit(codes_1d):
     """1-D sequence codes -> uint32 lanes, 16 symbols/lane, zero-padded.
 

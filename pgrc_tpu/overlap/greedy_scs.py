@@ -103,11 +103,30 @@ def _pow_table(L: int) -> np.ndarray:
     return pows
 
 
-def _build_sweep_fn(n: int, L: int):
-    """The full overlap sweep as ONE device program: duplicate linking, then
-    a fori_loop over overlap offsets 1..iters-1 (one round per iteration).
-    A single dispatch per pseudogenome keeps host<->device round trips off
-    the critical path (the tunnel RTT dwarfs per-round compute)."""
+def _cumsum_fast(jnp, jax, x_i32):
+    """Exclusive-free inclusive cumsum of an int32 0/1-ish vector via
+    MXU-chunked triangular matmul (≈1.5 ms vs ≈2.5 ms for jnp.cumsum at
+    m=524288 on v5e). Inner chunk sums ≤ B stay exact in f32; the carry
+    runs in int32."""
+    m = x_i32.shape[0]
+    B = 256
+    if m % B:
+        return jnp.cumsum(x_i32)
+    C = m // B
+    xx = x_i32.reshape(C, B).astype(jnp.float32)
+    tri = np.tril(np.ones((B, B), np.float32))
+    inner = jax.lax.dot(xx, tri.T)          # inclusive within chunk
+    sums = inner[:, -1].astype(jnp.int32)
+    carry = jnp.cumsum(sums) - sums
+    return inner.astype(jnp.int32) + carry[:, None].astype(jnp.int32)
+
+
+def _build_seg_fn(n: int, L: int):
+    """A segment of overlap rounds [i0, i1) at local table size `n` as one
+    device program. Per-row state (h, p, active flags, orig ids) is local to
+    the compacted table; links are scattered straight into the global
+    succ/ovl arrays (original read-id space), so the host can shrink the
+    local table between segments without remapping anything."""
     jax, jnp = _jax()
 
     # closure constants MUST stay numpy: a closed-over jax device array is
@@ -115,12 +134,15 @@ def _build_sweep_fn(n: int, L: int):
     # which costs ~80 s per array over a tunneled TPU
     pows = _pow_table(L)
     inv = np.uint32(HASH_BASE_INV)
-    big = np.int64(1) << np.int64(32)
-    big2 = np.int64(1) << np.int64(34)  # above any (hash << 1 | side) key
 
     m = 2 * n  # combined table: entries [0,n) = prefixes, [n,2n) = suffixes
+    pbits = max(int(m - 1).bit_length(), 1)
+    if pbits + 34 > 63:
+        raise ValueError("local overlap table too large for packed sort keys")
+    pmask = np.int64((1 << pbits) - 1)
+    invalid_key = np.int64(1) << np.int64(pbits + 33)
 
-    def round_fn(i, codes, h, p, active_s, active_p, succ, ovl):
+    def round_fn(i, codes, ids, h, p, active_s, active_p, succ_g, ovl_g):
         # --- rolling hash updates (suffix drops codes[:, i-1], prefix drops
         #     codes[:, L-i]) — these run every round even if matching is
         #     skipped, the recurrences are cumulative ---
@@ -130,36 +152,47 @@ def _build_sweep_fn(n: int, L: int):
         p = (p - cm) * inv
 
         def do_match(args):
-            h, p, active_s, active_p, succ, ovl = args
-            # --- ONE sort of the combined (hash, side) table; prefixes
-            # (side 0) sort before suffixes (side 1) inside an equal-hash
-            # group, so partner lookup is pure rank arithmetic — no
-            # searchsorted (jnp.searchsorted's scan path is ~80 ms per call
-            # at this size on TPU; this whole round is ~20 ms) ---
+            h, p, active_s, active_p, succ_g, ovl_g = args
+            # --- ONE single-operand sort of the packed (hash, side, pos)
+            # table; prefixes (side 0) sort before suffixes (side 1) inside
+            # an equal-hash group, so partner lookup is pure rank
+            # arithmetic — no searchsorted ---
             pos2 = jnp.arange(m, dtype=jnp.int32)
             side = (pos2 >= n).astype(jnp.int64)  # 0=prefix, 1=suffix
             hash_all = jnp.concatenate([p, h]).astype(jnp.int64)
             act_all = jnp.concatenate([active_p, active_s])
-            key = jnp.where(act_all, (hash_all << 1) | side,
-                            big2 + pos2.astype(jnp.int64))
-            key_sorted, elem = jax.lax.sort((key, pos2), num_keys=1)
+            key = jnp.where(
+                act_all,
+                (((hash_all << 1) | side) << pbits) | pos2.astype(jnp.int64),
+                invalid_key + pos2.astype(jnp.int64),
+            )
+            (key_sorted,) = jax.lax.sort((key,), num_keys=1)
+            elem = (key_sorted & pmask).astype(jnp.int32)
 
-            valid_elem = key_sorted < big2
-            ghash = key_sorted >> 1
-            is_suf = ((key_sorted & 1) == 1) & valid_elem
-            is_pref = ((key_sorted & 1) == 0) & valid_elem
+            valid_elem = key_sorted < invalid_key
+            ghash = key_sorted >> (pbits + 1)
+            is_suf = (elem >= n) & valid_elem
+            is_pref = (elem < n) & valid_elem
             new_group = jnp.concatenate(
                 [jnp.ones(1, dtype=jnp.bool_), ghash[1:] != ghash[:-1]]
             ) | ~valid_elem
-            group_start = jax.lax.cummax(jnp.where(new_group, pos2, 0))
+            cps = _cumsum_fast(jnp, jax, is_pref.astype(jnp.int32)).reshape(m)
+            cps = cps - is_pref.astype(jnp.int32)  # exclusive
+            # group start AND its prefix ordinal in ONE packed cummax
+            # (cps ≤ m < 2^pbits, pos2 strictly increases at group starts)
+            gs_pack = jax.lax.cummax(
+                jnp.where(new_group,
+                          (pos2.astype(jnp.int64) << pbits) | cps.astype(jnp.int64),
+                          jnp.int64(0))
+            )
+            group_start = (gs_pack >> pbits).astype(jnp.int32)
+            cps_gs = (gs_pack & pmask).astype(jnp.int32)
 
-            # prefix ordinal (exclusive cumsum) and ordinal->position table
-            cps = jnp.cumsum(is_pref.astype(jnp.int32)) - is_pref.astype(jnp.int32)
+            # ordinal->position table for prefixes
             pref_pos = jnp.zeros((m,), dtype=jnp.int32).at[
                 jnp.where(is_pref, cps, m)
             ].set(pos2, mode="drop")
 
-            cps_gs = jnp.take(cps, group_start)
             suf_rank = (pos2 - group_start) - (cps - cps_gs)
             partner_ord = cps_gs + suf_rank
             partner_q = jnp.take(pref_pos, jnp.clip(partner_ord, 0, m - 1))
@@ -201,24 +234,54 @@ def _build_sweep_fn(n: int, L: int):
             eq = jnp.where(keep_mask, ra_shift == rb, True).all(axis=1)
             matched = has_cand & eq
 
-            # --- apply links ---
+            # --- apply links in global (original read-id) space ---
             ovl_new = jnp.int32(L) - i.astype(jnp.int32)
-            succ = jnp.where(matched, cand, succ)
-            ovl = jnp.where(matched, ovl_new, ovl)
+            ids_cand = jnp.take(ids, pr_c)
+            big_n = succ_g.shape[0]
+            succ_g = succ_g.at[jnp.where(matched, ids, big_n)].set(ids_cand, mode="drop")
+            ovl_g = ovl_g.at[jnp.where(matched, ids, big_n)].set(ovl_new, mode="drop")
             active_s = active_s & ~matched
             active_p = active_p.at[jnp.where(matched, cand, n)].set(False, mode="drop")
-            return h, p, active_s, active_p, succ, ovl
+            return h, p, active_s, active_p, succ_g, ovl_g
 
         some_work = active_s.any() & active_p.any()
         return jax.lax.cond(
             some_work, do_match, lambda a: (h, p) + a[2:],
-            (h, p, active_s, active_p, succ, ovl),
+            (h, p, active_s, active_p, succ_g, ovl_g),
         )
 
-    def dup_part(codes, h, nreal):
+    def seg_fn(codes, ids, h, p, active_s, active_p, succ_g, ovl_g, i0, i1):
+        def body(i, carry):
+            h, p, a_s, a_p, sg, og = carry
+            return round_fn(jnp.int32(i), codes, ids, h, p, a_s, a_p, sg, og)
+
+        carry = (h, p, active_s, active_p, succ_g, ovl_g)
+        carry = jax.lax.fori_loop(i0, i1, body, carry)
+        h, p, a_s, a_p, sg, og = carry
+        n_active = (a_s | a_p).sum(dtype=jnp.int32)
+        n_suf = a_s.sum(dtype=jnp.int32)
+        n_pref = a_p.sum(dtype=jnp.int32)
+        return h, p, a_s, a_p, sg, og, n_active, n_suf, n_pref
+
+    return jax.jit(seg_fn)
+
+
+def _build_init_fn(n: int, L: int):
+    """Initial device program: full-read hashes + duplicate linking
+    (GreedySwipingPacked...cpp:97-136's equal-neighbor dedup) at full size.
+    Emits links directly in global id space (ids are the identity here)."""
+    jax, jnp = _jax()
+    pows = _pow_table(L)
+    big = np.int64(1) << np.int64(32)
+
+    def init_fn(codes, nreal):
+        # h0[r] = sum_j codes[r,j] * B^(L-1-j); uint32 accumulate == mod-2^32
+        h0 = (codes.astype(jnp.uint32) * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
+            axis=1, dtype=jnp.uint32
+        )
         idx = jnp.arange(n, dtype=jnp.int32)
         real = idx < nreal
-        ks = jnp.where(real, h.astype(jnp.int64), big + idx.astype(jnp.int64))
+        ks = jnp.where(real, h0.astype(jnp.int64), big + idx.astype(jnp.int64))
         ks_sorted, sidx = jax.lax.sort((ks, idx), num_keys=1)
         nxt_key_same = jnp.concatenate(
             [ks_sorted[1:] == ks_sorted[:-1], jnp.zeros(1, dtype=jnp.bool_)]
@@ -238,25 +301,34 @@ def _build_sweep_fn(n: int, L: int):
             jnp.where(matched, nxt, n)
         ].set(True, mode="drop")
         active_p = ~has_pred & real
-        return succ, ovl, active_s, active_p
+        return h0, active_s, active_p, succ, ovl
 
-    def sweep_fn(codes, nreal, iters):
-        # initial full-read hash on device: h0[r] = sum_j codes[r,j] * B^(L-1-j)
-        # (uint32 accumulate == mod-2^32 polynomial hash, exact)
-        h0 = (codes.astype(jnp.uint32) * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
-            axis=1, dtype=jnp.uint32
+    return jax.jit(init_fn)
+
+
+def _build_compact_fn(n_old: int, n_new: int, L: int):
+    """Device-side table compaction: stable-partition active rows to the
+    front (one kv sort of n_old keys) and gather the first n_new rows of
+    every per-row array. Dropped rows have already written their links to
+    the global succ/ovl arrays, so no information is lost."""
+    jax, jnp = _jax()
+
+    def compact_fn(codes, ids, h, p, a_s, a_p):
+        pos = jnp.arange(n_old, dtype=jnp.int32)
+        drop = ~(a_s | a_p)
+        key = drop.astype(jnp.int64) * jnp.int64(n_old) + pos.astype(jnp.int64)
+        _, perm = jax.lax.sort((key, pos), num_keys=1)
+        sel = perm[:n_new]
+        return (
+            jnp.take(codes, sel, axis=0),
+            jnp.take(ids, sel),
+            jnp.take(h, sel),
+            jnp.take(p, sel),
+            jnp.take(a_s, sel),
+            jnp.take(a_p, sel),
         )
-        succ, ovl, active_s, active_p = dup_part(codes, h0, nreal)
 
-        def body(i, carry):
-            h, p, a_s, a_p, succ, ovl = carry
-            return round_fn(jnp.int32(i), codes, h, p, a_s, a_p, succ, ovl)
-
-        carry = (h0, h0, active_s, active_p, succ, ovl)
-        carry = jax.lax.fori_loop(1, iters, body, carry)
-        return carry[4], carry[5]
-
-    return jax.jit(sweep_fn)
+    return jax.jit(compact_fn)
 
 
 def _roll_rows(jnp, mat, shift):
@@ -266,7 +338,21 @@ def _roll_rows(jnp, mat, shift):
     return jnp.take(mat, cols, axis=1)
 
 
-_ROUND_CACHE: dict[tuple, object] = {}
+_FN_CACHE: dict[tuple, object] = {}
+
+
+def _cached(kind: str, builder, *shape) -> object:
+    key = (kind, *shape)
+    if key not in _FN_CACHE:
+        _FN_CACHE[key] = builder(*shape)
+    return _FN_CACHE[key]
+
+
+# segment lengths between host syncs: short early (active set collapses
+# fastest in the first high-overlap rounds), longer later
+_SEG_PLAN = (6, 6, 12, 12, 24, 24)
+_SEG_TAIL = 48
+_COMPACT_FLOOR = 2048
 
 
 def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
@@ -274,6 +360,14 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
 
     coef < 1 limits rounds like the reference's overlappedReadsCountStopCoef
     (overlap lengths L-1 .. L-(L*coef-1)); coef == 1 goes down to overlap 1.
+
+    The sweep runs in segments of rounds; between segments the host reads
+    back only the active counts (one small sync) and, when the active set
+    has collapsed enough, compacts the device table to the next
+    power-of-two bucket — per-round cost is linear in the table size, and
+    on coverage-shaped data the active set shrinks geometrically. Replaces
+    the reference's per-iteration suffix re-bucketing
+    (ParallelGreedySwiping...cpp:213-252) as the work-shrinking mechanism.
     """
     jax, jnp = _jax()
     n, L = codes.shape
@@ -290,19 +384,40 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
             [codes, np.zeros((n_pad - n, L), dtype=codes.dtype)], axis=0
         )
 
-    key = (n_pad, L)
-    if key not in _ROUND_CACHE:
-        _ROUND_CACHE[key] = _build_sweep_fn(n_pad, L)
-    sweep_fn = _ROUND_CACHE[key]
-
+    init_fn = _cached("init", _build_init_fn, n_pad, L)
     codes_d = jnp.asarray(codes)
+    h0, a_s, a_p, succ_g, ovl_g = init_fn(codes_d, jnp.int32(n))
+    ids = jnp.arange(n_pad, dtype=jnp.int32)
+    h, p = h0, h0
+    n_loc = n_pad
     iters = int(L * coef)
-    succ, ovl = sweep_fn(codes_d, jnp.int32(n), jnp.int32(iters))
+
+    i = 1
+    seg_idx = 0
+    while i < iters:
+        seg = _SEG_PLAN[seg_idx] if seg_idx < len(_SEG_PLAN) else _SEG_TAIL
+        seg_idx += 1
+        i1 = min(i + seg, iters)
+        seg_fn = _cached("seg", _build_seg_fn, n_loc, L)
+        h, p, a_s, a_p, succ_g, ovl_g, n_act, n_suf, n_pref = seg_fn(
+            codes_d, ids, h, p, a_s, a_p, succ_g, ovl_g,
+            jnp.int32(i), jnp.int32(i1),
+        )
+        i = i1
+        if i >= iters:
+            break
+        cnt, csuf, cpref = (int(v) for v in jax.device_get((n_act, n_suf, n_pref)))
+        if csuf == 0 or cpref == 0:
+            break  # nothing left to match — remaining rounds are no-ops
+        n_new = max(_bucket_size(cnt), _COMPACT_FLOOR)
+        if n_new <= n_loc // 2:
+            compact_fn = _cached("compact", _build_compact_fn, n_loc, n_new, L)
+            codes_d, ids, h, p, a_s, a_p = compact_fn(codes_d, ids, h, p, a_s, a_p)
+            n_loc = n_new
+
     # device_get, not np.asarray: the __array__ readback path stalls ~10 s
     # per call on a tunneled TPU, device_get transfers in ms
-    import jax
-
-    succ_h, ovl_h = jax.device_get((succ, ovl))
+    succ_h, ovl_h = jax.device_get((succ_g, ovl_g))
     return OverlapResult(succ_h[:n].copy(), ovl_h[:n].copy(), L)
 
 

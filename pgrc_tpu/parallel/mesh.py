@@ -26,7 +26,7 @@ def make_mesh(n_devices: int | None = None):
 
 
 def sharded_match_step(mesh, read_len: int, k: int, bits: int, cap: int,
-                       n_probes: int, max_mis: int):
+                       probe_offs: tuple, max_mis: int):
     """Build a pjit-ed, shard_map-ed device step: packed reads (sharded) vs
     replicated pg index -> per-read best match + psum'd match histogram.
 
@@ -44,9 +44,9 @@ def sharded_match_step(mesh, read_len: int, k: int, bits: int, cap: int,
     def local_step(codes, phashes, starts, positions, pg_lanes, pg_len):
         n_local = codes.shape[0]
         probe = am._build_probe_fn(
-            n_local, read_len, n_probes, cap, k, bits, pg_lanes.shape[0], max_mis
+            n_local, read_len, probe_offs, cap, k, bits, pg_lanes.shape[0], max_mis
         )
-        lanes = packed.pack_2bit(codes)
+        lanes = packed.widen_lanes_u64(packed.pack_2bit(codes))
         mis, pos = probe(lanes, phashes, starts, positions, pg_lanes, pg_len[0])
         hist = jnp.zeros(256, dtype=jnp.int32).at[mis.astype(jnp.int32)].add(
             1, mode="drop"
