@@ -276,38 +276,36 @@ def match_reads(
         offs_p1 = offs_full
     cap_p1 = min(cap, 4)
 
-    # both strands in one row batch: rows [0,n) forward, [n,2n) revcomp
-    rc_codes = packed.revcomp_codes_matrix(read_codes)
-    all_codes = np.concatenate([read_codes, rc_codes], axis=0)
-    all_lanes = packed.widen_lanes_u64(packed.pack_2bit(all_codes))
-    hashes_p1 = _read_probe_hashes(all_codes, index.k, offs_p1)
-
-    mis2, pos2 = _probe_batch(
-        all_lanes, hashes_p1, offs_p1, cap_p1, index, dev, max_mismatches, L
+    # forward-first probing (the TPU shape of the reference's fwd pass then
+    # RC-improve-only, ReadsMatchers.cpp:162-184): RC is probed only for
+    # reads without a good forward hit, and wins only with strictly fewer
+    # mismatches — keeps the rc stream near-all-zero on both-strand pgs.
+    lanes_f = packed.widen_lanes_u64(packed.pack_2bit(read_codes))
+    hashes_p1 = _read_probe_hashes(read_codes, index.k, offs_p1)
+    fm, fp = _probe_batch(
+        lanes_f, hashes_p1, offs_p1, cap_p1, index, dev, max_mismatches, L
     )
-    fm, rm = mis2[:n].copy(), mis2[n:].copy()
-    fp, rp = pos2[:n].copy(), pos2[n:].copy()
+    rm = np.full(n, 255, dtype=np.uint8)
+    rp = np.full(n, -1, dtype=np.int64)
 
-    # pass 2: full fan-out for reads not accepted in pass 1
-    if len(offs_full) > len(offs_p1) or cap > cap_p1:
-        todo = np.minimum(fm, rm) > accept_mis
-        rows = np.nonzero(todo)[0]
-        if rows.size:
-            sel = np.concatenate([rows, rows + n])
-            hashes_p2 = _read_probe_hashes(all_codes[sel], index.k, offs_full)
-            mis_t, pos_t = _probe_batch(
-                all_lanes[sel], hashes_p2, offs_full, cap, index, dev,
-                max_mismatches, L,
-            )
-            t = rows.size
-            better_f = (mis_t[:t].astype(np.int64) << 44) + np.where(pos_t[:t] >= 0, pos_t[:t], 0) \
-                < (fm[rows].astype(np.int64) << 44) + np.where(fp[rows] >= 0, fp[rows], 0)
-            fm[rows] = np.where(better_f, mis_t[:t], fm[rows])
-            fp[rows] = np.where(better_f, pos_t[:t], fp[rows])
-            better_r = (mis_t[t:].astype(np.int64) << 44) + np.where(pos_t[t:] >= 0, pos_t[t:], 0) \
-                < (rm[rows].astype(np.int64) << 44) + np.where(rp[rows] >= 0, rp[rows], 0)
-            rm[rows] = np.where(better_r, mis_t[t:], rm[rows])
-            rp[rows] = np.where(better_r, pos_t[t:], rp[rows])
+    # pass 2: full fan-out (fwd + rc) for reads not accepted in pass 1
+    todo = fm > accept_mis
+    rows = np.nonzero(todo)[0]
+    if rows.size:
+        rc_codes = packed.revcomp_codes_matrix(read_codes[rows])
+        sel_codes = np.concatenate([read_codes[rows], rc_codes], axis=0)
+        sel_lanes = packed.widen_lanes_u64(packed.pack_2bit(sel_codes))
+        hashes_p2 = _read_probe_hashes(sel_codes, index.k, offs_full)
+        mis_t, pos_t = _probe_batch(
+            sel_lanes, hashes_p2, offs_full, cap, index, dev,
+            max_mismatches, L,
+        )
+        t = rows.size
+        better_f = mis_t[:t] < fm[rows]
+        fm[rows] = np.where(better_f, mis_t[:t], fm[rows])
+        fp[rows] = np.where(better_f, pos_t[:t], fp[rows])
+        rm[rows] = mis_t[t:]
+        rp[rows] = pos_t[t:]
 
     take_r = rm < fm  # strict: forward wins ties (deterministic)
     out_mis[:] = np.where(take_r, rm, fm)

@@ -62,8 +62,8 @@ def load(path: str) -> Archive:
         raise ValueError("not a PGTC archive")
     pos = 4
     ver_major, ver_minor, mode, flags = buf[4], buf[5], buf[6], buf[7]
-    if ver_major > 1:
-        raise ValueError(f"archive version {ver_major}.{ver_minor} too new")
+    if (ver_major, ver_minor) != (1, 1):
+        raise ValueError(f"unsupported archive version {ver_major}.{ver_minor}")
     separate_n = bool(flags & 1)
     revcomp_pair = bool(flags & 2)
     pos = 8
@@ -78,7 +78,8 @@ def load(path: str) -> Archive:
 
     reader = StreamReader(buf, pos)
     ord_mode = mode in (MODE_ORD_SE, MODE_ORD_PE)
-    hq_reads = _read_hq_section(reader, hq_count, has_off=not ord_mode)
+    hq_reads = _read_hq_section(reader, hq_count, has_off=not ord_mode,
+                                read_len=read_len)
     lq_pos_arr = _read_plain_pg_section(reader, lq_count)
     n_pos_arr = _read_plain_pg_section(reader, n_count) if separate_n \
         else np.zeros(0, dtype=np.int64)
@@ -108,21 +109,37 @@ def load(path: str) -> Archive:
     )
 
 
-def _read_hq_section(reader: StreamReader, count: int, has_off: bool) -> ReadsList:
+def _read_hq_section(reader: StreamReader, count: int, has_off: bool,
+                     read_len: int) -> ReadsList:
+    """Inverse of encoder._write_hq_section (v1.1 decomposed streams)."""
+    from ..streams import mismatch as mm
+
+    order = np.frombuffer(reader.buf[reader.pos : reader.pos + 5], dtype=np.uint8)
+    limit = reader.buf[reader.pos + 5]
+    reader.pos += 6
+    n_streams = (5 if has_off else 4) + limit
+    blobs = reader.read_many(n_streams)
+    it = iter(blobs)
     if has_off:
-        off = np.frombuffer(reader.read_one(), dtype=np.uint8).astype(np.int64)
+        off = np.frombuffer(next(it), dtype=np.uint8).astype(np.int64)
         pos = np.cumsum(off)
     else:
         pos = np.zeros(count, dtype=np.int64)
-    rc = np.unpackbits(
-        np.frombuffer(reader.read_one(), dtype=np.uint8), count=count
-    ).astype(bool) if count else np.zeros(0, dtype=bool)
-    mis_cnt = np.frombuffer(reader.read_one(), dtype=np.uint8)
-    mis_sym = np.frombuffer(reader.read_one(), dtype=np.uint8)
-    mis_off = np.frombuffer(reader.read_one(), dtype=np.uint8)
+    rc = np.frombuffer(next(it), dtype=np.uint8).astype(bool)
+    nz = np.frombuffer(next(it), dtype=np.uint8).astype(bool)
+    cnt_vals = np.frombuffer(next(it), dtype=np.uint8)
+    if int(nz.sum()) != cnt_vals.size:
+        raise ValueError("mismatch-count stream desync")
+    mis_cnt = np.zeros(count, dtype=np.uint8)
+    mis_cnt[nz] = cnt_vals
+    exc = np.frombuffer(next(it), dtype=np.uint8)
+    off_streams = [next(it) for _ in range(limit)]
+    stored = mm.merge_by_count(mis_cnt, off_streams, np.uint8, limit=limit)
+    mis_off = mm.rev_offset_decode(mis_cnt, stored, read_len)
     return ReadsList(
         pos=pos, org_idx=np.zeros(0, dtype=np.int64), rev_comp=rc,
-        mis_cnt=mis_cnt, mis_sym_code=mis_sym, mis_off=mis_off,
+        mis_cnt=mis_cnt, mis_sym_code=exc, mis_off=mis_off,
+        mis_dec_lut=mm.exclusive_decode_lut(order),
     )
 
 
@@ -180,6 +197,7 @@ def decode_to_matrices(ar: Archive) -> list[np.ndarray]:
             pos=pos[hq_rows], org_idx=np.zeros(0, np.int64),
             rev_comp=rl.rev_comp, mis_cnt=rl.mis_cnt,
             mis_sym_code=rl.mis_sym_code, mis_off=rl.mis_off,
+            mis_dec_lut=rl.mis_dec_lut,
         )
         out[hq_rows] = reconstruct_at(joined, pos[hq_rows], L, sub)
     if ar.mode == MODE_ORD_SE:

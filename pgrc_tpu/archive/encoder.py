@@ -75,6 +75,10 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
     t = {}
     t0 = time.time()
     params.resolve()
+    if params.verbosity:
+        from ..utils import logchan
+
+        logchan.set_verbosity(params.verbosity)
     stats = EncodeStats(stage_times=t)
     B, E = params.begin_stage, params.end_stage
     ck = _load_ckpt(params, B - 1) if B > 1 else {}
@@ -313,7 +317,7 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
     out = io.BytesIO()
     header = bytearray()
     header += ARCHIVE_MAGIC
-    header += bytes([1, 0, mode])
+    header += bytes([1, 1, mode])
     flags = (1 if params.separate_n_reads else 0) | (2 if params.revcomp_pair_file else 0)
     header.append(flags)
     write_varint(header, L)
@@ -331,7 +335,8 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
         entry_perm = np.argsort(hq_entries["org"], kind="stable")
     else:
         entry_perm = np.arange(stats.hq_count)
-    _write_hq_section(out, hq_entries, entry_perm, store_off=not ord_mode)
+    _write_hq_section(out, hq_entries, entry_perm, store_off=not ord_mode,
+                      read_len=L)
     _write_plain_pg_section(out, lq_pos)
     if params.separate_n_reads:
         _write_plain_pg_section(out, n_pos)
@@ -415,7 +420,14 @@ def _gather_flat_mismatches(perm, mis_cnt_perm, src_cum, m_sym, m_off):
     return m_sym[src_flat], m_off[src_flat]
 
 
-def _write_hq_section(out, entries, entry_perm, store_off: bool) -> None:
+def _write_hq_section(out, entries, entry_perm, store_off: bool, read_len: int) -> None:
+    """HQ reads-list streams with the reference's v1.3-style decomposition
+    (SeparatedPseudoGenomePersistence.cpp compressedBuild +
+    compressRlMisRevOffDest): zero/non-zero mismatch-count split, exclusive
+    symbol codes with global frequency reordering, reversed delta-from-end
+    offsets in per-count substreams (fixed-count streams transposed)."""
+    from ..streams import mismatch as mm
+
     pos = entries["pos"][entry_perm]
     rc = entries["rc"][entry_perm]
     mis_cnt = entries["mis_cnt"][entry_perm]
@@ -424,39 +436,60 @@ def _write_hq_section(out, entries, entry_perm, store_off: bool) -> None:
     sym, off = _gather_flat_mismatches(
         entry_perm, mis_cnt, src_cum, entries["mis_sym"], entries["mis_off"]
     )
+    # exclusive codes under a global symbol-frequency order
+    pg_vals = (sym >> 4).astype(np.uint8)
+    read_vals = (sym & 0x0F).astype(np.uint8)
+    order = mm.symbol_order(read_vals)
+    exc = mm.exclusive_encode(pg_vals, read_vals, order)
+    # reversed gap-from-end offsets, split per mismatch count
+    stored_off = mm.rev_offset_encode(mis_cnt, off, read_len)
+    off_streams = mm.split_by_count(mis_cnt, stored_off)
+
+    # raw props blob: symbol order + substream limit
+    out.write(bytes(order.tobytes()) + bytes([mm.COUNT_STREAM_LIMIT]))
+
     jobs = []
     if store_off:
         deltas = np.empty(pos.size, dtype=np.int64)
         if pos.size:
             deltas[0] = pos[0]
             deltas[1:] = pos[1:] - pos[:-1]
-        assert deltas.max(initial=0) <= 255
+        if deltas.max(initial=0) > 255:
+            raise ValueError("hq reads-list delta exceeds 255 (pg gap)")
         jobs.append(CompressionJob(
             "hq off", deltas.astype(np.uint8).tobytes(),
             Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-            alternatives=[Codec(codecs.ZSTD, 19)],
+            alternatives=[Codec(codecs.ZSTD, 19), Codec(codecs.RANGE_CTX, 1),
+                          Codec(codecs.RANGE_CTX, 2)],
         ))
     jobs.append(CompressionJob(
-        "hq rc", np.packbits(rc).tobytes(),
-        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+        "hq rc", rc.astype(np.uint8).tobytes(),
+        Codec(codecs.RANGE_CTX, 2, 2),
+        alternatives=[Codec(codecs.RANGE_CTX, 11, 2), Codec(codecs.ZSTD, 19)],
+    ))
+    jobs.append(CompressionJob(
+        "hq mis zero flags", (mis_cnt > 0).astype(np.uint8).tobytes(),
+        Codec(codecs.RANGE_CTX, 2, 2),
+        alternatives=[Codec(codecs.RANGE_CTX, 6, 2), Codec(codecs.RANGE_CTX, 11, 2),
+                      Codec(codecs.ZSTD, 19)],
+    ))
+    jobs.append(CompressionJob(
+        "hq mis cnt values", mis_cnt[mis_cnt > 0].tobytes(),
+        Codec(codecs.RANGE_CTX, 1, 128),
         alternatives=[Codec(codecs.ZSTD, 19)],
     ))
     jobs.append(CompressionJob(
-        "hq mis cnt", mis_cnt.tobytes(),
-        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-        alternatives=[Codec(codecs.ZSTD, 19)],
+        "hq mis sym", exc.tobytes(),
+        Codec(codecs.RANGE_CTX, 3, 4),
+        alternatives=[Codec(codecs.RANGE_CTX, 6, 4), Codec(codecs.ZSTD, 19)],
     ))
-    jobs.append(CompressionJob(
-        "hq mis sym", sym.tobytes(),
-        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-        alternatives=[Codec(codecs.ZSTD, 19), Codec(codecs.RANGE_O1)]
-        if sym.size < 100_000 else [Codec(codecs.ZSTD, 19)],
-    ))
-    jobs.append(CompressionJob(
-        "hq mis off", off.tobytes(),
-        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-        alternatives=[Codec(codecs.ZSTD, 19)],
-    ))
+    for m, s in enumerate(off_streams, start=1):
+        jobs.append(CompressionJob(
+            f"hq mis off [{m}]", s,
+            Codec(codecs.RANGE_O0),
+            alternatives=[Codec(codecs.ZSTD, 19),
+                          Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1)],
+        ))
     write_streams(out, jobs)
 
 

@@ -66,6 +66,16 @@ def get_lib():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
         ]
+        lib.rcx_encode.restype = ctypes.c_int64
+        lib.rcx_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.rcx_decode.restype = ctypes.c_int64
+        lib.rcx_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p,
+        ]
         lib.pair_walk_decode.restype = ctypes.c_int32
         lib.pair_walk_decode.argtypes = [
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -179,6 +189,29 @@ def pair_walk_decode(offs):
     if rc != 0:
         return None
     return out
+
+
+def rcx_encode(data: bytes, nsym: int, order: int) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + len(data) // 8 + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.rcx_encode(data, len(data), nsym, order, out, cap)
+    if n < 0:
+        return None
+    return out.raw[:n]
+
+
+def rcx_decode(data: bytes, count: int, nsym: int, order: int) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(count if count else 1)
+    n = lib.rcx_decode(data, len(data), count, nsym, order, out)
+    if n != count:
+        return None
+    return out.raw[:count]
 
 
 def rc_decode(data: bytes, count: int, order: int, period: int, nsym: int) -> bytes | None:

@@ -21,8 +21,12 @@ class ReadsList:
     org_idx: np.ndarray             # [R] int64 original read index (or empty)
     rev_comp: np.ndarray            # [R] bool (empty = all False)
     mis_cnt: np.ndarray             # [R] uint8 (empty = all 0)
-    mis_sym_code: np.ndarray        # [sum mis_cnt] uint8 cxt codes (pg<<4|read)
+    mis_sym_code: np.ndarray        # [sum mis_cnt] uint8 cxt codes (pg<<4|read),
+                                    # or exclusive codes 0..3 when mis_dec_lut set
     mis_off: np.ndarray             # [sum mis_cnt] uint8/uint16 read-local offsets
+    # [5, 4] uint8 LUT (window value, exclusive code) -> read value; when set,
+    # mis_sym_code holds exclusive codes (utils/helper.cpp:347-377 role)
+    mis_dec_lut: np.ndarray | None = None
 
     @property
     def count(self) -> int:

@@ -46,8 +46,13 @@ def reconstruct_at(
         if total:
             read_of_mis = np.repeat(np.arange(n, dtype=np.int64), reads.mis_cnt)
             offs = reads.mis_off.astype(np.int64)
-            # cxt code low nibble = the read's symbol (mismatch2CxtCode)
-            out[read_of_mis, offs] = reads.mis_sym_code & 0x0F
+            if reads.mis_dec_lut is not None:
+                # exclusive code: actual value depends on the window symbol
+                cur = out[read_of_mis, offs]
+                out[read_of_mis, offs] = reads.mis_dec_lut[cur, reads.mis_sym_code]
+            else:
+                # cxt code low nibble = the read's symbol (mismatch2CxtCode)
+                out[read_of_mis, offs] = reads.mis_sym_code & 0x0F
     return out
 
 

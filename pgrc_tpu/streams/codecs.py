@@ -30,6 +30,7 @@ ZSTD = 3
 RANGE_O0 = 4
 RANGE_O1 = 5
 VARLEN_DNA = 6
+RANGE_CTX = 7   # order-k context range coder: p1 = order, p2 = nsym (0 -> 256)
 
 # coder levels, mirroring CODER_LEVEL_FAST/NORMAL/MAX
 LEVEL_FAST = 1
@@ -121,6 +122,13 @@ class Codec:
             packed = varlen_dna.encode(data, codebook_id=self.p1)
             inner = Codec(LZMA_CODER, self.p2 or LEVEL_NORMAL, 1)
             return inner.compress(packed)
+        if self.coder_id == RANGE_CTX:
+            from . import rangecoder
+
+            return rangecoder.encode_ctx(
+                np.frombuffer(data, dtype=np.uint8), nsym=self.p2 or 256,
+                order=self.p1,
+            )
         raise ValueError(f"unknown coder id {self.coder_id}")
 
     def decompress(self, data: bytes, raw_len: int) -> bytes:
@@ -145,16 +153,34 @@ class Codec:
             # bound for the inner raw stream; LZMA raw streams self-terminate.
             packed = inner.decompress(data, raw_len)
             return varlen_dna.decode(packed, raw_len, codebook_id=self.p1)
+        if self.coder_id == RANGE_CTX:
+            from . import rangecoder
+
+            return rangecoder.decode_ctx(
+                data, raw_len, nsym=self.p2 or 256, order=self.p1
+            ).tobytes()
         raise ValueError(f"unknown coder id {self.coder_id}")
 
     def key(self) -> tuple:
         return (self.coder_id, self.p1, self.p2)
 
 
+PROBE_FRACTION = 0.2
+MIN_PROBE_SIZE = 1 << 16
+
+
 def select_best(codecs: list[Codec], data: bytes) -> tuple[Codec, bytes]:
-    """Probe-compress with each candidate and keep the smallest output
-    (the reference's selector coder, CodersLib.cpp:176-203, without the
-    prefix-probe shortcut — full probing, threaded by the caller)."""
+    """Pick the best codec (the reference's selector coder,
+    CodersLib.cpp:176-203): when the stream is large, each candidate
+    compresses only a prefix probe (PROBE_FRACTION, >= MIN_PROBE_SIZE) and
+    only the winner compresses the full stream."""
+    if len(codecs) == 1:
+        return codecs[0], codecs[0].compress(data)
+    probe_len = max(MIN_PROBE_SIZE, int(len(data) * PROBE_FRACTION))
+    if probe_len < len(data):
+        probe = data[:probe_len]
+        best = min(codecs, key=lambda c: len(c.compress(probe)))
+        return best, best.compress(data)
     best = None
     best_out = None
     for c in codecs:

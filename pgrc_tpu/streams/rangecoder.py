@@ -105,6 +105,109 @@ def _py_encode(data: np.ndarray, order: int = 0, period: int = 1, nsym: int = 25
     return bytes(out)
 
 
+def _ctx_count(nsym: int, order: int) -> int:
+    cap = min(1 << 22, max((1 << 24) // nsym, 1))
+    n = 1
+    for _ in range(order):
+        n *= nsym
+        if n >= cap:
+            return cap
+    return n
+
+
+def encode_ctx(data: np.ndarray, nsym: int, order: int) -> bytes:
+    """Order-`order` context-model range coding (the PPMd role): the context
+    is the last `order` symbols, ctx' = (ctx*nsym + sym) mod nsym^order."""
+    data = np.asarray(data, dtype=np.uint8)
+    from .. import native
+
+    fast = native.rcx_encode(data.tobytes(), nsym, order)
+    if fast is not None:
+        return fast
+    return _py_encode_ctx(data, nsym, order)
+
+
+def decode_ctx(data: bytes, count: int, nsym: int, order: int) -> np.ndarray:
+    from .. import native
+
+    fast = native.rcx_decode(bytes(data), count, nsym, order)
+    if fast is not None:
+        return np.frombuffer(fast, dtype=np.uint8)
+    return _py_decode_ctx(data, count, nsym, order)
+
+
+def _py_encode_ctx(data: np.ndarray, nsym: int, order: int) -> bytes:
+    n_ctx = _ctx_count(nsym, order)
+    models = [_Model(nsym) for _ in range(n_ctx)]
+    out = bytearray()
+    low = 0
+    rng = MASK
+    ctx = 0
+    for sym in np.asarray(data, dtype=np.uint8).tolist():
+        m = models[ctx]
+        clo, f, tot = m.cum(sym)
+        rng //= tot
+        low = (low + clo * rng) & MASK
+        rng *= f
+        while True:
+            if ((low ^ (low + rng)) & MASK) < TOP:
+                pass
+            elif rng < BOT:
+                rng = BOT - (low & (BOT - 1))
+            else:
+                break
+            out.append((low >> 24) & 0xFF)
+            low = (low << 8) & MASK
+            rng = rng << 8
+            if rng > MASK:
+                rng = MASK
+        m.update(sym)
+        ctx = (ctx * nsym + sym) % n_ctx
+    for _ in range(4):
+        out.append((low >> 24) & 0xFF)
+        low = (low << 8) & MASK
+    return bytes(out)
+
+
+def _py_decode_ctx(data: bytes, count: int, nsym: int, order: int) -> np.ndarray:
+    n_ctx = _ctx_count(nsym, order)
+    models = [_Model(nsym) for _ in range(n_ctx)]
+    out = np.zeros(count, dtype=np.uint8)
+    buf = data + b"\x00" * 8
+    pos_in = 4
+    code = int.from_bytes(buf[:4], "big")
+    low = 0
+    rng = MASK
+    ctx = 0
+    for pos in range(count):
+        m = models[ctx]
+        tot = m.total
+        rng //= tot
+        scaled = ((code - low) & MASK) // rng
+        if scaled >= tot:
+            scaled = tot - 1
+        sym, clo, f = m.find(scaled)
+        low = (low + clo * rng) & MASK
+        rng *= f
+        while True:
+            if ((low ^ (low + rng)) & MASK) < TOP:
+                pass
+            elif rng < BOT:
+                rng = BOT - (low & (BOT - 1))
+            else:
+                break
+            code = ((code << 8) | buf[pos_in]) & MASK
+            pos_in += 1
+            low = (low << 8) & MASK
+            rng = rng << 8
+            if rng > MASK:
+                rng = MASK
+        m.update(sym)
+        out[pos] = sym
+        ctx = (ctx * nsym + sym) % n_ctx
+    return out
+
+
 def decode(data: bytes, count: int, order: int = 0, period: int = 1, nsym: int = 256) -> np.ndarray:
     from .. import native
 
