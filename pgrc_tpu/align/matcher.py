@@ -6,14 +6,17 @@ matching/ReadsMatchers.cpp:421-451 OMP read loop) with:
 
   * a CSR sampled k-mer index over the pg (positions every k1, rolling
     polynomial hash -> top `hash_bits` bits bucket id), built vectorized;
-  * a statically-shaped probe tensor: every read samples `k2`-strided K-mer
-    probes, gathers up to `cap` candidate positions per bucket, and verifies
-    all candidates with 2-bit-packed XOR + popcount against the packed pg;
-  * both strands probe the SAME index (the RC pass probes RC(read) and flags
-    the hit, instead of re-indexing the reverse-complemented pg as the
-    reference does, ReadsMatchers.cpp:162-184);
-  * a deterministic (mismatches, strand, position) argmin reduction replaces
-    the reference's benign OMP race on best-match updates.
+  * a statically-shaped device probe program: reads live as packed 2-bit
+    u32 lanes; probe hashes are computed ON DEVICE from the lanes (rolling
+    prefix-sum hash), candidate positions are gathered from the CSR index,
+    and every candidate is verified with cross-lane-shift XOR + popcount
+    against the packed pg — all state is 32-bit (no emulated 64-bit ints);
+  * forward-first two-phase probing (the reference's fwd pass then
+    RC-improve-only, ReadsMatchers.cpp:162-184): pass 1 probes every read
+    forward at 3 spread offsets; only the leftovers probe both strands at
+    the full fan-out. RC wins only with strictly fewer mismatches;
+  * a deterministic (mismatches, then position) two-step min reduction
+    replaces the reference's benign OMP race on best-match updates.
 """
 from __future__ import annotations
 
@@ -26,15 +29,15 @@ from ..overlap.greedy_scs import HASH_BASE, HASH_BASE_INV, _jax
 
 DEFAULT_K = 32
 DEFAULT_K1 = 4          # pg sampling stride
-DEFAULT_K2 = 7          # read probe stride (coprime with k1)
+DEFAULT_K2 = 3          # read probe stride (coprime with k1; reference k2 table)
 DEFAULT_CAP = 8         # candidates kept per bucket probe
 NOT_MATCHED = np.uint8(255)
 
 
 @dataclass
 class KmerIndex:
-    starts: np.ndarray      # [2^bits + 1] int32 CSR bucket starts
-    positions: np.ndarray   # [P] int32/int64 pg positions (sampled, truncated)
+    starts: np.ndarray      # [2^bits + 1] int64 CSR bucket starts
+    positions: np.ndarray   # [P] int64 pg positions (sampled, truncated)
     k: int
     k1: int
     bits: int
@@ -62,28 +65,12 @@ def _window_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     return (s[k : k + nwin] - s[:nwin]) * mult
 
 
-def _pow_at(exps: np.ndarray) -> np.ndarray:
-    """B^exps mod 2^32 for an int array (binary exponentiation, vectorized)."""
-    exps = np.asarray(exps, dtype=np.uint64)
-    out = np.ones(exps.shape, dtype=np.uint32)
-    base = np.uint32(HASH_BASE)
-    bit = 0
-    maxbits = int(exps.max()).bit_length() if exps.size else 0
-    b_pow = base  # B^(2^bit)
-    with np.errstate(over="ignore"):
-        for bit in range(maxbits):
-            mask = ((exps >> np.uint64(bit)) & np.uint64(1)).astype(bool)
-            out[mask] = out[mask] * b_pow
-            b_pow = b_pow * b_pow
-    return out
-
-
 def build_index(
     pg_codes: np.ndarray,
     k: int = DEFAULT_K,
     k1: int = DEFAULT_K1,
     bits: int = 22,
-    max_bucket: int = 24,
+    max_bucket: int = 48,
 ) -> KmerIndex:
     """Sampled CSR k-mer index of the pg (host-vectorized build)."""
     n = pg_codes.shape[0]
@@ -105,9 +92,15 @@ def build_index(
         starts_full = np.zeros((1 << bits) + 1, dtype=np.int64)
         np.cumsum(counts, out=starts_full[1:])
         rank_in_bucket = np.arange(hb_sorted.size) - starts_full[hb_sorted]
-        keep = rank_in_bucket < max_bucket
+        # spread the kept positions across the bucket instead of keeping a
+        # prefix: repetitive pgs keep coverage of the whole position range
+        # (the reference's falseMatchCountLimit fallback role)
+        stride = (counts[hb_sorted] + max_bucket - 1) // max_bucket
+        keep = (rank_in_bucket % np.maximum(stride, 1) == 0) & (
+            rank_in_bucket // np.maximum(stride, 1) < max_bucket
+        )
         pos_sorted = pos_sorted[keep]
-        counts = np.minimum(counts, max_bucket)
+        counts = np.bincount(hb_sorted[keep], minlength=1 << bits)
     starts = np.zeros((1 << bits) + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     return KmerIndex(starts=starts, positions=pos_sorted, k=k, k1=k1, bits=bits, pg_len=n)
@@ -115,26 +108,46 @@ def build_index(
 
 def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits: int,
                     pg_lanes_len: int, max_mis: int):
-    """Jitted probe+verify over a read batch.
+    """Jitted device probe: packed read lanes -> (hash, bucket, gather,
+    cross-lane-shift XOR/popcount verify, two-step deterministic min).
 
-    uint64 pg lanes (half the gathered elements of the u32 layout — TPU
-    gathers cost per element), int32 CSR arrays, static probe-offset tuple
-    so progressive passes (few probes first, full fan-out only for the
-    stragglers) compile separate lean programs."""
+    Probe hashes are computed on device from the lanes (one [R, L]
+    unpack + prefix-sum rolling hash), so the host only uploads packed
+    lanes. Everything is u32/i32 — the TPU has no native 64-bit ints."""
     jax, jnp = _jax()
-    W2 = packed.num_lanes64(L)
+    W = (L + 15) // 16
     n_probes = len(probe_offs)
     probe_off_np = np.asarray(probe_offs, dtype=np.int32)
 
+    # constants (numpy, embedded at lowering)
+    inv_pows = np.full(L, np.uint32(HASH_BASE_INV), dtype=np.uint32)
+    inv_pows[0] = 1
+    np.cumprod(inv_pows, out=inv_pows)
+    mult = np.zeros(len(probe_offs), dtype=np.uint32)
+    for si, o in enumerate(probe_offs):
+        mult[si] = np.uint32(pow(int(HASH_BASE), o + k - 1, 1 << 32))
     # tail mask for the last read lane
-    tail = L - (W2 - 1) * packed.SYMS_PER_LANE64
-    lane_mask = np.full(W2, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
-    if tail < packed.SYMS_PER_LANE64:
-        lane_mask[W2 - 1] = np.uint64((0xFFFFFFFFFFFFFFFF << (64 - 2 * tail)) & 0xFFFFFFFFFFFFFFFF)
+    lane_mask = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
+    tail = L - (W - 1) * packed.SYMS_PER_LANE
+    if tail < packed.SYMS_PER_LANE:
+        lane_mask[W - 1] = np.uint32((0xFFFFFFFF << (32 - 2 * tail)) & 0xFFFFFFFF)
 
-    def probe_fn(read_lanes, probe_hashes, starts, positions, pg_lanes, pg_len):
-        # probe_hashes: [R, S] uint32 -> bucket ids
-        bid = (probe_hashes >> jnp.uint32(32 - bits)).astype(jnp.int32)
+    def probe_fn(read_lanes, starts, positions, pg_lanes, pg_len):
+        # --- on-device probe hashes from packed lanes ---
+        sh = jnp.arange(15, -1, -1, dtype=jnp.uint32) * jnp.uint32(2)
+        v = ((read_lanes[:, :W, None] >> sh[None, None, :]) & jnp.uint32(3)).reshape(
+            n_reads, W * 16
+        )[:, :L]
+        terms = v * jnp.asarray(inv_pows)[None, :]
+        s = jnp.concatenate(
+            [jnp.zeros((n_reads, 1), jnp.uint32), jnp.cumsum(terms, axis=1, dtype=jnp.uint32)],
+            axis=1,
+        )
+        offs = jnp.asarray(probe_off_np)
+        hashes = (jnp.take(s, offs + k, axis=1) - jnp.take(s, offs, axis=1)) * \
+            jnp.asarray(mult)[None, :]                      # [R, S]
+
+        bid = (hashes >> jnp.uint32(32 - bits)).astype(jnp.int32)
         lo = jnp.take(starts, bid)          # [R, S]
         cnt = jnp.take(starts, bid + 1) - lo
         cslot = jnp.arange(cap, dtype=jnp.int32)
@@ -142,51 +155,40 @@ def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, b
         cand_valid = cslot[None, None, :] < cnt[:, :, None]
         cand_idx = jnp.clip(cand_idx, 0, positions.shape[0] - 1)
         text_pos = jnp.take(positions, cand_idx)      # [R, S, C] sampled pg pos
-        start_pos = text_pos - jnp.asarray(probe_off_np)[None, :, None]
+        start_pos = text_pos - offs[None, :, None]
         in_range = (start_pos >= 0) & (start_pos <= pg_len - L) & cand_valid
         start_c = jnp.clip(start_pos, 0, jnp.maximum(pg_len - L, 0))
 
-        # --- packed verify: align pg lanes to read lane grid ---
-        q = (start_c >> 5).astype(jnp.int32)          # u64-lane index
-        r = (start_c & 31).astype(jnp.uint64)         # symbol offset in lane
-        lane_ids = q[..., None] + jnp.arange(W2 + 1, dtype=jnp.int32)[None, None, None, :]
+        # --- packed verify: align pg lanes to the read lane grid (u32) ---
+        q = (start_c >> 4).astype(jnp.int32)          # u32-lane index
+        s2 = ((start_c & 15) << 1).astype(jnp.uint32)  # bit shift in lane
+        lane_ids = q[..., None] + jnp.arange(W + 1, dtype=jnp.int32)[None, None, None, :]
         lane_ids = jnp.clip(lane_ids, 0, pg_lanes_len - 1)
-        tl = jnp.take(pg_lanes, lane_ids)             # [R, S, C, W2+1] u64
-        sh = (r * jnp.uint64(2))[..., None]
-        hi = tl[..., :W2] << sh
-        lo_part = jnp.where(
-            sh > 0, tl[..., 1 : W2 + 1] >> (jnp.uint64(64) - sh), jnp.uint64(0)
-        )
+        tl = jnp.take(pg_lanes, lane_ids)             # [R, S, C, W+1] u32
+        s2e = s2[..., None]
+        hi = tl[..., :W] << s2e
+        lo_part = jnp.where(s2e > 0, tl[..., 1 : W + 1] >> (jnp.uint32(32) - s2e), jnp.uint32(0))
         aligned = (hi | lo_part) & jnp.asarray(lane_mask)[None, None, None, :]
-        x = aligned ^ read_lanes[:, None, None, :]
-        y = (x | (x >> jnp.uint64(1))) & jnp.uint64(0x5555555555555555)
-        mis = packed.popcount_u64(y).sum(axis=-1)     # [R, S, C]
-        # deterministic best: (mismatches, position) lexicographic min
-        score = mis.astype(jnp.int64) * (jnp.int64(1) << 44) + start_c.astype(jnp.int64)
-        score = jnp.where(in_range, score, jnp.int64(255) << 44)
-        best = score.reshape(n_reads, -1).min(axis=1)
-        best_mis = (best >> 44).astype(jnp.int32)
-        best_pos = (best & ((jnp.int64(1) << 44) - 1)).astype(jnp.int64)
+        x = aligned ^ (read_lanes[:, None, None, :W] & jnp.asarray(lane_mask)[None, None, None, :])
+        y = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+        mis = packed.popcount_u32(y).sum(axis=-1)     # [R, S, C] i32
+        mis = jnp.where(in_range, mis, jnp.int32(255))
+        # deterministic best: min mismatches, then min position
+        best_mis = mis.reshape(n_reads, -1).min(axis=1)
+        pos_cand = jnp.where(
+            mis == best_mis[:, None, None], start_c, jnp.int32(0x7FFFFFFF)
+        )
+        best_pos = pos_cand.reshape(n_reads, -1).min(axis=1)
         ok = best_mis <= max_mis
-        return jnp.where(ok, best_mis, 255).astype(jnp.uint8), jnp.where(ok, best_pos, -1)
+        return (
+            jnp.where(ok, best_mis, 255).astype(jnp.uint8),
+            jnp.where(ok, best_pos, -1).astype(jnp.int32),
+        )
 
     return jax.jit(probe_fn)
 
 
 _PROBE_CACHE: dict[tuple, object] = {}
-
-
-def _read_probe_hashes(codes: np.ndarray, k: int, offs: np.ndarray) -> np.ndarray:
-    """[R, S] uint32 probe hashes at the given read offsets."""
-    n, L = codes.shape
-    pows = _pow_at(np.arange(k - 1, -1, -1))
-    # hash per offset: sum codes[:, o+t] * B^(k-1-t)
-    out = np.zeros((n, len(offs)), dtype=np.uint32)
-    for si, o in enumerate(offs):
-        out[:, si] = (codes[:, o : o + k].astype(np.uint32) * pows[None, :]).sum(
-            axis=1, dtype=np.uint32
-        )
-    return out
 
 
 def probe_offsets(L: int, k: int, k2: int) -> tuple:
@@ -200,34 +202,47 @@ class MatchResult:
     mis: np.ndarray       # [R] uint8 (255 = unmatched)
 
 
-def _probe_batch(rows_lanes64, rows_hashes, offs, cap, index, dev, max_mis, L):
-    """Probe a [R,*] row batch (already strand-expanded) in bucketed chunks."""
+def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows):
+    """Probe a [R, W+1] u32 lane batch in bucketed chunks."""
     jax, jnp = _jax()
-    n = rows_lanes64.shape[0]
+    n = rows_lanes.shape[0]
     out_mis = np.full(n, 255, dtype=np.uint8)
     out_pos = np.full(n, -1, dtype=np.int64)
     starts_d, positions_d, pg_lanes_d, pg_lanes_len = dev
-    batch = 131072
-    for lo in range(0, n, batch):
-        hi = min(lo + batch, n)
+    for lo in range(0, n, batch_rows):
+        hi = min(lo + batch_rows, n)
         bn = hi - lo
-        bsz = _probe_bucket(bn)
+        bsz = min(_probe_bucket(bn), batch_rows)
         key = (bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis)
         if key not in _PROBE_CACHE:
             _PROBE_CACHE[key] = _build_probe_fn(
                 bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis
             )
         probe_fn = _PROBE_CACHE[key]
-        lanes = _pad_rows(rows_lanes64[lo:hi], bsz)
-        ph = _pad_rows(rows_hashes[lo:hi], bsz)
+        lanes = _pad_rows(rows_lanes[lo:hi], bsz)
         mis, pos = probe_fn(
-            jnp.asarray(lanes), jnp.asarray(ph), starts_d, positions_d,
-            pg_lanes_d, index.pg_len,
+            jnp.asarray(lanes), starts_d, positions_d, pg_lanes_d, index.pg_len
         )
         mis_h, pos_h = jax.device_get((mis, pos))
         out_mis[lo:hi] = mis_h[:bn]
         out_pos[lo:hi] = pos_h[:bn]
     return out_mis, out_pos
+
+
+def device_index(index: KmerIndex, pg_codes: np.ndarray):
+    """Upload the CSR index + packed pg text once per stage."""
+    jax, jnp = _jax()
+    pg_lanes = packed.pack_text_2bit(pg_codes)
+    pg_lanes = _pad_1d(np.concatenate([pg_lanes, np.zeros(1, np.uint32)]),
+                       _probe_bucket(len(pg_lanes) + 1))
+    positions = _pad_1d(index.positions.astype(np.int32),
+                        _probe_bucket(max(index.positions.size, 1)))
+    return (
+        jnp.asarray(index.starts.astype(np.int32)),
+        jnp.asarray(positions),
+        jnp.asarray(pg_lanes),
+        len(pg_lanes),
+    )
 
 
 def match_reads(
@@ -240,13 +255,10 @@ def match_reads(
     batch: int = 65536,
     accept_mis: int = 2,
 ) -> MatchResult:
-    """Match every read (both strands) against the indexed pg.
+    """Match every read against the indexed pg, forward-first.
 
-    Progressive two-pass probing (the TPU shape of the reference's per-read
-    early exit, CopMEMMatcher.cpp:523-547): pass 1 probes every read (both
-    strands in one batch) at 3 spread offsets with a small candidate cap and
-    accepts hits with <= accept_mis mismatches; only the leftover rows run
-    the full probe fan-out.
+    N symbols in reads probe as A (2-bit packing collapses them); the
+    encoder re-verifies N rows exactly (encoder.py stage 4).
     """
     jax, jnp = _jax()
     n, L = read_codes.shape
@@ -255,57 +267,47 @@ def match_reads(
     out_mis = np.full(n, 255, dtype=np.uint8)
     if n == 0 or index.positions.size == 0 or index.pg_len < L:
         return MatchResult(out_pos, out_rc, out_mis)
+    if index.pg_len > 0x7FFF0000 - L:
+        raise NotImplementedError(
+            "pg longer than 2^31 symbols needs the wide probe variant"
+        )
 
-    # bucket pg-dependent array lengths so the compiled probe program is
-    # shared across datasets (pg_len itself stays a dynamic argument)
-    pg_lanes = packed.widen_lanes_u64(packed.pack_text_2bit(pg_codes)[None, :])[0]
-    pg_lanes = _pad_1d(pg_lanes, _probe_bucket(len(pg_lanes)))
-    positions = _pad_1d(index.positions.astype(np.int32), _probe_bucket(max(index.positions.size, 1)))
-    dev = (
-        jnp.asarray(index.starts.astype(np.int32)),
-        jnp.asarray(positions),
-        jnp.asarray(pg_lanes),
-        len(pg_lanes),
-    )
-
+    dev = device_index(index, pg_codes)
     offs_full = probe_offsets(L, index.k, k2)
-    # pass-1 offsets: 3 spread probes (first / middle / last)
     if len(offs_full) > 3:
         offs_p1 = (offs_full[0], offs_full[len(offs_full) // 2], offs_full[-1])
     else:
         offs_p1 = offs_full
     cap_p1 = min(cap, 4)
 
-    # forward-first probing (the TPU shape of the reference's fwd pass then
-    # RC-improve-only, ReadsMatchers.cpp:162-184): RC is probed only for
-    # reads without a good forward hit, and wins only with strictly fewer
-    # mismatches — keeps the rc stream near-all-zero on both-strand pgs.
-    lanes_f = packed.widen_lanes_u64(packed.pack_2bit(read_codes))
-    hashes_p1 = _read_probe_hashes(read_codes, index.k, offs_p1)
-    fm, fp = _probe_batch(
-        lanes_f, hashes_p1, offs_p1, cap_p1, index, dev, max_mismatches, L
-    )
+    lanes_f, _ = packed.pack_lanes(read_codes)
+    fm, fp = _probe_batch(lanes_f, offs_p1, cap_p1, index, dev, max_mismatches,
+                          L, batch_rows=131072)
     rm = np.full(n, 255, dtype=np.uint8)
     rp = np.full(n, -1, dtype=np.int64)
 
-    # pass 2: full fan-out (fwd + rc) for reads not accepted in pass 1
+    # pass 2: forward full fan-out for reads not accepted in pass 1
     todo = fm > accept_mis
     rows = np.nonzero(todo)[0]
     if rows.size:
+        mis_t, pos_t = _probe_batch(lanes_f[rows], offs_full, cap, index, dev,
+                                    max_mismatches, L, batch_rows=32768)
+        better_f = mis_t < fm[rows]
+        fm[rows] = np.where(better_f, mis_t, fm[rows])
+        fp[rows] = np.where(better_f, pos_t, fp[rows])
+
+    # pass 3: reverse-complement full fan-out only for reads still without a
+    # good forward hit (the reference's RC pass improves existing matches,
+    # but on a both-strand pg a decent forward hit is almost always final)
+    rows = np.nonzero(fm > accept_mis)[0]
+    if rows.size:
         rc_codes = packed.revcomp_codes_matrix(read_codes[rows])
-        sel_codes = np.concatenate([read_codes[rows], rc_codes], axis=0)
-        sel_lanes = packed.widen_lanes_u64(packed.pack_2bit(sel_codes))
-        hashes_p2 = _read_probe_hashes(sel_codes, index.k, offs_full)
-        mis_t, pos_t = _probe_batch(
-            sel_lanes, hashes_p2, offs_full, cap, index, dev,
-            max_mismatches, L,
-        )
-        t = rows.size
-        better_f = mis_t[:t] < fm[rows]
-        fm[rows] = np.where(better_f, mis_t[:t], fm[rows])
-        fp[rows] = np.where(better_f, pos_t[:t], fp[rows])
-        rm[rows] = mis_t[t:]
-        rp[rows] = pos_t[t:]
+        rc_codes[rc_codes > 3] = 0  # N probes as A on the RC strand too
+        rc_lanes, _ = packed.pack_lanes(rc_codes)
+        mis_t, pos_t = _probe_batch(rc_lanes, offs_full, cap, index, dev,
+                                    max_mismatches, L, batch_rows=32768)
+        rm[rows] = mis_t
+        rp[rows] = pos_t
 
     take_r = rm < fm  # strict: forward wins ties (deterministic)
     out_mis[:] = np.where(take_r, rm, fm)

@@ -180,14 +180,10 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
         has_n = (cand_codes == dna.N).any(axis=1)
         max_mis = L // params.min_chars_per_mismatch
         index = align_matcher.build_index(hq_pg, k=k, bits=_index_bits(len(hq_pg)))
-        # reads with N probe with N->A (the 2-bit packed verify cannot encode
-        # N); their true mismatch count is restored by an exact re-verify below
-        probe_codes = cand_codes
-        if has_n.any():
-            probe_codes = cand_codes.copy()
-            probe_codes[probe_codes == dna.N] = dna.A
+        # reads with N probe with N->A (2-bit packing collapses N); their true
+        # mismatch count is restored by an exact re-verify below
         mres = align_matcher.match_reads(
-            probe_codes, index, hq_pg,
+            cand_codes, index, hq_pg,
             max_mismatches=max_mis,
             cap=params.match_cap,
         )

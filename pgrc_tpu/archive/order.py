@@ -153,7 +153,11 @@ def decode_positions_se(reader: StreamReader, count: int, wide: bool) -> np.ndar
 def encode_positions_pe(out, pos: np.ndarray) -> None:
     """PE_ORD: base positions (even org idx) + pair offsets
     (compressReadsPgPositions, :463-530). Pairs sorted by base position for
-    offset locality; u16 flag/sign/value split with full-position fallback."""
+    offset locality; u16 flag/sign/value split with full-position fallback.
+
+    A leading raw flag byte selects wide (varint64) position streams when
+    the joined pg exceeds 4 GB (reference uint_pg_len widening,
+    pgrc/pg-config.h:39-44)."""
     from ..streams.container import write_streams
 
     r = pos.shape[0]
@@ -165,8 +169,26 @@ def encode_positions_pe(out, pos: np.ndarray) -> None:
     is_base_first = b <= m
     rel = np.abs(m.astype(np.int64) - b.astype(np.int64))
     in_u16 = rel <= 0xFFFF
+    wide = bool(pos.size) and int(pos.max()) > 0xFFFFFFFF
+    out.write(bytes([1 if wide else 0]))
+    if wide:
+        base_job = CompressionJob(
+            "ord-pe base positions (varint64)",
+            encode_varints(base.astype(np.uint64)),
+            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+            alternatives=[Codec(codecs.ZSTD, 19)],
+        )
+        full_job = CompressionJob(
+            "ord-pe full mate positions (varint64)",
+            encode_varints(m[~in_u16].astype(np.uint64)),
+            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
+            alternatives=[Codec(codecs.ZSTD, 19)],
+        )
+    else:
+        base_job = _u32_job("ord-pe base positions", base.astype(np.uint32))
+        full_job = _u32_job("ord-pe full mate positions", m[~in_u16].astype(np.uint32))
     jobs = [
-        _u32_job("ord-pe base positions", base.astype(np.uint32)),
+        base_job,
         _u8_jobs("ord-pe offset u16 flags", in_u16.astype(np.uint8)),
         _u8_jobs("ord-pe offset sign flags", is_base_first[in_u16].astype(np.uint8)),
         CompressionJob(
@@ -175,17 +197,26 @@ def encode_positions_pe(out, pos: np.ndarray) -> None:
             Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 2),
             alternatives=[Codec(codecs.ZSTD, 19)],
         ),
-        _u32_job("ord-pe full mate positions", m[~in_u16].astype(np.uint32)),
+        full_job,
     ]
     write_streams(out, jobs)
 
 
 def decode_positions_pe(reader: StreamReader, count: int) -> np.ndarray:
-    base = np.frombuffer(reader.read_one(), dtype=np.uint32).astype(np.int64)
+    wide = bool(reader.buf[reader.pos])
+    reader.pos += 1
+    raw_base = reader.read_one()
     in_u16 = np.frombuffer(reader.read_one(), dtype=np.uint8).astype(bool)
     sign = np.frombuffer(reader.read_one(), dtype=np.uint8).astype(bool)
     vals = np.frombuffer(reader.read_one(), dtype=np.uint16).astype(np.int64)
-    full = np.frombuffer(reader.read_one(), dtype=np.uint32).astype(np.int64)
+    raw_full = reader.read_one()
+    n_full = int((~in_u16).sum())
+    if wide:
+        base = decode_varints(raw_base, count // 2).astype(np.int64)
+        full = decode_varints(raw_full, n_full).astype(np.int64)
+    else:
+        base = np.frombuffer(raw_base, dtype=np.uint32).astype(np.int64)
+        full = np.frombuffer(raw_full, dtype=np.uint32).astype(np.int64)
     n_pairs = base.shape[0]
     rank = np.argsort(base, kind="stable")
     b = base[rank]

@@ -134,6 +134,45 @@ def pack_text_2bit(codes_1d):
     return (c << shifts).sum(axis=1).astype(xp.uint32)
 
 
+def pack_lanes(codes: np.ndarray, n_pad: int | None = None):
+    """Host-side packing of an ACGTN code matrix for the packed overlap/match
+    kernels: returns (lanes [n_pad, W+1] uint32, nmask [n_pad, Wn+1] uint32
+    or None). lanes hold 2-bit symbols (N packed as A) with one zero pad
+    lane for cross-lane shifts; nmask holds N-position bits (bit 31-j%32 of
+    lane j//32) and is None when the matrix has no N. Rows past n are zero.
+
+    Native C++ fast path (native/packcodes.cpp); numpy fallback below.
+    """
+    n, L = codes.shape
+    if n_pad is None:
+        n_pad = n
+    W = (L + 15) // 16
+    Wn = (L + 31) // 32
+    has_n = bool((codes > 3).any())
+    from .. import native
+
+    lanes = np.zeros((n_pad, W + 1), dtype=np.uint32)
+    nmask = np.zeros((n_pad, Wn + 1), dtype=np.uint32) if has_n else None
+    packed_ok = native.pack_lanes(codes, lanes[:n], nmask[:n] if has_n else None)
+    if not packed_ok:
+        pad = W * SYMS_PER_LANE - L
+        c = codes & 0x3
+        if pad:
+            c = np.concatenate([c, np.zeros((n, pad), dtype=np.uint8)], axis=1)
+        shifts = np.arange(SYMS_PER_LANE - 1, -1, -1, dtype=np.uint32) * np.uint32(2)
+        lanes[:n, :W] = (
+            c.astype(np.uint32).reshape(n, W, SYMS_PER_LANE) << shifts
+        ).sum(axis=2, dtype=np.uint32)
+        if has_n:
+            padn = Wn * 32 - L
+            nb = (codes > 3).astype(np.uint32)
+            if padn:
+                nb = np.concatenate([nb, np.zeros((n, padn), dtype=np.uint32)], axis=1)
+            shifts_n = np.arange(31, -1, -1, dtype=np.uint32)
+            nmask[:n, :Wn] = (nb.reshape(n, Wn, 32) << shifts_n).sum(axis=2, dtype=np.uint32)
+    return lanes, nmask
+
+
 def revcomp_codes_matrix(codes):
     """Reverse complement rows of an ACGTN code matrix (vector form of
     utils/helper.cpp:388-397)."""

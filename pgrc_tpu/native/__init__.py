@@ -17,7 +17,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_HERE, "libpgrc_native.so")
 _SOURCES = [os.path.join(_HERE, "rangecoder.cpp"),
             os.path.join(_HERE, "pairwalk.cpp"),
-            os.path.join(_HERE, "fastqio.cpp")]
+            os.path.join(_HERE, "fastqio.cpp"),
+            os.path.join(_HERE, "packcodes.cpp"),
+            os.path.join(_HERE, "chainwalk.cpp")]
 
 _lock = threading.Lock()
 _lib_handle = None
@@ -65,6 +67,21 @@ def get_lib():
         lib.rc_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+        ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.cut_cycles.restype = ctypes.c_int64
+        lib.cut_cycles.argtypes = [i32p, i32p, ctypes.c_int64]
+        lib.chain_walk_assemble.restype = ctypes.c_int64
+        lib.chain_walk_assemble.argtypes = [
+            i32p, i32p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), i32p,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.pack_lanes_u32.restype = None
+        lib.pack_lanes_u32.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32),
         ]
         lib.rcx_encode.restype = ctypes.c_int64
         lib.rcx_encode.argtypes = [
@@ -189,6 +206,58 @@ def pair_walk_decode(offs):
     if rc != 0:
         return None
     return out
+
+
+def pack_lanes(codes, lanes_out, nmask_out) -> bool:
+    """Pack [n, L] u8 codes into pre-allocated u32 lane matrices (see
+    core/packed.pack_lanes). Returns False when native is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return False
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n, L = codes.shape
+    lib.pack_lanes_u32(
+        _u8p(codes), n, L, lanes_out.shape[1],
+        lanes_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nmask_out.shape[1] if nmask_out is not None else 0,
+        nmask_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        if nmask_out is not None else None,
+    )
+    return True
+
+
+def chain_walk_assemble(succ, ovl, codes):
+    """Cycle removal + chain layout + pg assembly (sequential native pass,
+    the reference's assemblePseudoGenomeTemplate role). Returns
+    (pos [n] i64, order [n] i32, pg u8) or None when native is unavailable
+    or the links are corrupt. succ/ovl are not mutated (copies passed)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    succ = np.ascontiguousarray(succ, dtype=np.int32).copy()
+    ovl = np.ascontiguousarray(ovl, dtype=np.int32).copy()
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n, L = codes.shape
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    cuts = lib.cut_cycles(succ.ctypes.data_as(i32p), ovl.ctypes.data_as(i32p), n)
+    if cuts < 0:
+        return None
+    pg_len = int(n * L - ovl[succ >= 0].sum(dtype=np.int64))
+    pos = np.empty(n, dtype=np.int64)
+    order = np.empty(n, dtype=np.int32)
+    pg = np.empty(pg_len, dtype=np.uint8)
+    got = lib.chain_walk_assemble(
+        succ.ctypes.data_as(i32p), ovl.ctypes.data_as(i32p), _u8p(codes),
+        n, L, pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        order.ctypes.data_as(i32p), _u8p(pg),
+    )
+    if got != pg_len:
+        return None
+    return pos, order, pg
 
 
 def rcx_encode(data: bytes, nsym: int, order: int) -> bytes | None:

@@ -7,14 +7,18 @@ overlap lengths L-1 down to 1, each read getting at most one successor and one
 predecessor — but each round is a data-parallel device program instead of a
 sequential merge sweep:
 
-  * per-read rolling polynomial hashes of the round's suffix (codes[r, i:])
-    and prefix (codes[r, :L-i]) are updated from ONE column of the read
-    matrix per round (no string re-sorting, no gathers);
-  * active suffixes and prefixes are sorted by (hash, idx) and paired
-    rank-for-rank inside equal-hash groups (searchsorted + running group
-    rank), self-pairs fixed by swapping with the neighbouring rank;
-  * candidate pairs are verified exactly against the uint8 read matrix, so a
-    hash collision can only cost a missed match, never a wrong link.
+  * reads live on device as packed 2-bit u32 lanes (+ a 1-bit N mask when
+    the set contains N), so uploads, sorts, and verifies move 4-25x fewer
+    bytes than a uint8 read matrix;
+  * per-read rolling polynomial hashes of the round's suffix and prefix are
+    updated from ONE packed column per round (no string re-sorting);
+  * active suffixes and prefixes are sorted by a u32 (hash31|side) key with
+    an i32 position payload (stable sort — all round state is 32-bit, which
+    avoids the TPU's emulated 64-bit integer path) and paired rank-for-rank
+    inside equal-hash groups, self-pairs fixed by swapping ranks;
+  * candidate pairs are verified exactly with cross-lane shift compares on
+    the packed lanes, so a hash collision can only cost a missed match,
+    never a wrong link.
 
 Cycle removal (cut the minimum-overlap edge of every cycle, reference
 AbstractOverlapPseudoGenomeGenerator.cpp:6-41) and chain layout both use
@@ -121,12 +125,76 @@ def _cumsum_fast(jnp, jax, x_i32):
     return inner.astype(jnp.int32) + carry[:, None].astype(jnp.int32)
 
 
-def _build_seg_fn(n: int, L: int):
+def _lane_dims(L: int) -> tuple[int, int]:
+    """(W, Wn): 2-bit lane count and N-bitmask lane count for read length L."""
+    return (L + 15) // 16, (L + 31) // 32
+
+
+def _col_vals(jax, jnp, lanes, nmask, t, has_n):
+    """Symbol value (0..7: 2-bit code + 4*N-bit) of column t of every row —
+    extracted from packed lanes with a dynamic lane slice + shift."""
+    q = t // 16
+    r = t % 16
+    lane = jax.lax.dynamic_slice_in_dim(lanes, q, 1, axis=1)[:, 0]
+    c = (lane >> (jnp.uint32(2) * (jnp.uint32(15) - r.astype(jnp.uint32)))) & jnp.uint32(3)
+    if has_n:
+        qn = t // 32
+        rn = t % 32
+        lanen = jax.lax.dynamic_slice_in_dim(nmask, qn, 1, axis=1)[:, 0]
+        nb = (lanen >> (jnp.uint32(31) - rn.astype(jnp.uint32))) & jnp.uint32(1)
+        c = c + (nb << jnp.uint32(2))
+    return c
+
+
+def _suffix_eq_prefix(jax, jnp, lanes, nmask, pr_c, i, L, has_n):
+    """Exact packed comparison: row r's suffix starting at column i equals
+    row pr_c[r]'s prefix of length L-i. Cross-lane shift extraction on 2-bit
+    lanes (and 1-bit N lanes), masked to the compared length — replaces the
+    [n, L] uint8 gathers of the first design with [n, W] uint32 lane math."""
+    W, Wn = _lane_dims(L)
+    n = lanes.shape[0]
+    q = i // 16
+    s2 = ((i % 16) * 2).astype(jnp.uint32)
+    lane_idx = jnp.clip(q + jnp.arange(W + 1, dtype=jnp.int32), 0, W)
+    a = jnp.take(lanes, lane_idx, axis=1)           # [n, W+1]
+    hi = a[:, :W] << s2
+    lo = jnp.where(s2 > 0, a[:, 1 : W + 1] >> (jnp.uint32(32) - s2), jnp.uint32(0))
+    suf = hi | lo
+    rb = jnp.take(lanes[:, :W], pr_c, axis=0)
+    rem = (jnp.int32(L) - i).astype(jnp.int32)
+    kvec = jnp.clip(rem - 16 * jnp.arange(W, dtype=jnp.int32), 0, 16)
+    shift = jnp.clip(32 - 2 * kvec, 0, 31).astype(jnp.uint32)
+    mask = jnp.where(kvec > 0, jnp.uint32(0xFFFFFFFF) << shift, jnp.uint32(0))
+    eq = (((suf ^ rb) & mask[None, :]) == 0).all(axis=1)
+    if has_n:
+        qn = i // 32
+        sn = (i % 32).astype(jnp.uint32)
+        lane_idx_n = jnp.clip(qn + jnp.arange(Wn + 1, dtype=jnp.int32), 0, Wn)
+        an = jnp.take(nmask, lane_idx_n, axis=1)
+        hi_n = an[:, :Wn] << sn
+        lo_n = jnp.where(sn > 0, an[:, 1 : Wn + 1] >> (jnp.uint32(32) - sn), jnp.uint32(0))
+        sufn = hi_n | lo_n
+        rbn = jnp.take(nmask[:, :Wn], pr_c, axis=0)
+        kn = jnp.clip(rem - 32 * jnp.arange(Wn, dtype=jnp.int32), 0, 32)
+        shiftn = jnp.clip(32 - kn, 0, 31).astype(jnp.uint32)
+        maskn = jnp.where(kn > 0, jnp.uint32(0xFFFFFFFF) << shiftn, jnp.uint32(0))
+        eq = eq & ((((sufn ^ rbn) & maskn[None, :]) == 0).all(axis=1))
+    return eq
+
+
+_INVALID_KEY = np.uint32(0xFFFFFFFF)
+
+
+def _build_seg_fn(n: int, L: int, has_n: bool):
     """A segment of overlap rounds [i0, i1) at local table size `n` as one
     device program. Per-row state (h, p, active flags, orig ids) is local to
     the compacted table; links are scattered straight into the global
     succ/ovl arrays (original read-id space), so the host can shrink the
-    local table between segments without remapping anything."""
+    local table between segments without remapping anything.
+
+    All round state is 32-bit: the sort runs on u32 keys (31-bit hash |
+    side) with an i32 position payload (stable), avoiding v5e's emulated
+    64-bit integer path; reads are packed 2-bit lanes (+1-bit N mask)."""
     jax, jnp = _jax()
 
     # closure constants MUST stay numpy: a closed-over jax device array is
@@ -134,43 +202,32 @@ def _build_seg_fn(n: int, L: int):
     # which costs ~80 s per array over a tunneled TPU
     pows = _pow_table(L)
     inv = np.uint32(HASH_BASE_INV)
-
     m = 2 * n  # combined table: entries [0,n) = prefixes, [n,2n) = suffixes
-    pbits = max(int(m - 1).bit_length(), 1)
-    if pbits + 34 > 63:
-        raise ValueError("local overlap table too large for packed sort keys")
-    pmask = np.int64((1 << pbits) - 1)
-    invalid_key = np.int64(1) << np.int64(pbits + 33)
 
-    def round_fn(i, codes, ids, h, p, active_s, active_p, succ_g, ovl_g):
-        # --- rolling hash updates (suffix drops codes[:, i-1], prefix drops
-        #     codes[:, L-i]) — these run every round even if matching is
+    def round_fn(i, lanes, nmask, ids, h, p, active_s, active_p, succ_g, ovl_g):
+        # --- rolling hash updates (suffix drops column i-1, prefix drops
+        #     column L-i) — these run every round even if matching is
         #     skipped, the recurrences are cumulative ---
-        ci = jax.lax.dynamic_slice_in_dim(codes, i - 1, 1, axis=1)[:, 0].astype(jnp.uint32)
-        h = h - ci * jnp.asarray(pows)[L - i]
-        cm = jax.lax.dynamic_slice_in_dim(codes, L - i, 1, axis=1)[:, 0].astype(jnp.uint32)
-        p = (p - cm) * inv
+        vi = _col_vals(jax, jnp, lanes, nmask, i - 1, has_n)
+        h = h - vi * jnp.asarray(pows)[L - i]
+        vm = _col_vals(jax, jnp, lanes, nmask, L - i, has_n)
+        p = (p - vm) * inv
 
         def do_match(args):
             h, p, active_s, active_p, succ_g, ovl_g = args
-            # --- ONE single-operand sort of the packed (hash, side, pos)
-            # table; prefixes (side 0) sort before suffixes (side 1) inside
-            # an equal-hash group, so partner lookup is pure rank
-            # arithmetic — no searchsorted ---
+            # --- ONE stable sort of (u32 hash|side key, i32 pos payload);
+            # prefixes (side 0) sort before suffixes (side 1) inside an
+            # equal-hash group, so partner lookup is pure rank arithmetic ---
             pos2 = jnp.arange(m, dtype=jnp.int32)
-            side = (pos2 >= n).astype(jnp.int64)  # 0=prefix, 1=suffix
-            hash_all = jnp.concatenate([p, h]).astype(jnp.int64)
+            side = (pos2 >= n).astype(jnp.uint32)  # 0=prefix, 1=suffix
+            hash_all = jnp.concatenate([p, h])
+            hash31 = jnp.minimum(hash_all >> jnp.uint32(1), jnp.uint32(0x7FFFFFFE))
             act_all = jnp.concatenate([active_p, active_s])
-            key = jnp.where(
-                act_all,
-                (((hash_all << 1) | side) << pbits) | pos2.astype(jnp.int64),
-                invalid_key + pos2.astype(jnp.int64),
-            )
-            (key_sorted,) = jax.lax.sort((key,), num_keys=1)
-            elem = (key_sorted & pmask).astype(jnp.int32)
+            key = jnp.where(act_all, (hash31 << jnp.uint32(1)) | side, _INVALID_KEY)
+            key_sorted, elem = jax.lax.sort((key, pos2), num_keys=1, is_stable=True)
 
-            valid_elem = key_sorted < invalid_key
-            ghash = key_sorted >> (pbits + 1)
+            valid_elem = key_sorted != _INVALID_KEY
+            ghash = key_sorted >> jnp.uint32(1)
             is_suf = (elem >= n) & valid_elem
             is_pref = (elem < n) & valid_elem
             new_group = jnp.concatenate(
@@ -178,15 +235,10 @@ def _build_seg_fn(n: int, L: int):
             ) | ~valid_elem
             cps = _cumsum_fast(jnp, jax, is_pref.astype(jnp.int32)).reshape(m)
             cps = cps - is_pref.astype(jnp.int32)  # exclusive
-            # group start AND its prefix ordinal in ONE packed cummax
-            # (cps ≤ m < 2^pbits, pos2 strictly increases at group starts)
-            gs_pack = jax.lax.cummax(
-                jnp.where(new_group,
-                          (pos2.astype(jnp.int64) << pbits) | cps.astype(jnp.int64),
-                          jnp.int64(0))
-            )
-            group_start = (gs_pack >> pbits).astype(jnp.int32)
-            cps_gs = (gs_pack & pmask).astype(jnp.int32)
+            # group start position and its prefix ordinal: two i32 cummaxes
+            # (both sequences are non-decreasing at group starts)
+            group_start = jax.lax.cummax(jnp.where(new_group, pos2, 0))
+            cps_gs = jax.lax.cummax(jnp.where(new_group, cps, 0))
 
             # ordinal->position table for prefixes
             pref_pos = jnp.zeros((m,), dtype=jnp.int32).at[
@@ -225,13 +277,10 @@ def _build_seg_fn(n: int, L: int):
                 jnp.where(valid, me, n)
             ].set(jnp.where(valid, partner, -1), mode="drop")
 
-            # --- exact verification: codes[r, i:] == codes[cand[r], :L-i] ---
+            # --- exact verification on packed lanes ---
             has_cand = cand >= 0
             pr_c = jnp.clip(cand, 0, n - 1)
-            rb = jnp.take(codes, pr_c, axis=0)
-            ra_shift = _roll_rows(jnp, codes, i)
-            keep_mask = jnp.arange(L, dtype=jnp.int32)[None, :] < (L - i)
-            eq = jnp.where(keep_mask, ra_shift == rb, True).all(axis=1)
+            eq = _suffix_eq_prefix(jax, jnp, lanes, nmask, pr_c, i, L, has_n)
             matched = has_cand & eq
 
             # --- apply links in global (original read-id) space ---
@@ -250,10 +299,10 @@ def _build_seg_fn(n: int, L: int):
             (h, p, active_s, active_p, succ_g, ovl_g),
         )
 
-    def seg_fn(codes, ids, h, p, active_s, active_p, succ_g, ovl_g, i0, i1):
+    def seg_fn(lanes, nmask, ids, h, p, active_s, active_p, succ_g, ovl_g, i0, i1):
         def body(i, carry):
             h, p, a_s, a_p, sg, og = carry
-            return round_fn(jnp.int32(i), codes, ids, h, p, a_s, a_p, sg, og)
+            return round_fn(jnp.int32(i), lanes, nmask, ids, h, p, a_s, a_p, sg, og)
 
         carry = (h, p, active_s, active_p, succ_g, ovl_g)
         carry = jax.lax.fori_loop(i0, i1, body, carry)
@@ -266,31 +315,48 @@ def _build_seg_fn(n: int, L: int):
     return jax.jit(seg_fn)
 
 
-def _build_init_fn(n: int, L: int):
+def _build_init_fn(n: int, L: int, has_n: bool):
     """Initial device program: full-read hashes + duplicate linking
     (GreedySwipingPacked...cpp:97-136's equal-neighbor dedup) at full size.
     Emits links directly in global id space (ids are the identity here)."""
     jax, jnp = _jax()
     pows = _pow_table(L)
-    big = np.int64(1) << np.int64(32)
+    W, Wn = _lane_dims(L)
 
-    def init_fn(codes, nreal):
-        # h0[r] = sum_j codes[r,j] * B^(L-1-j); uint32 accumulate == mod-2^32
-        h0 = (codes.astype(jnp.uint32) * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
+    def init_fn(lanes, nmask, nreal):
+        # unpack symbol values once (one-time [n, L] intermediate) for h0
+        sh = jnp.arange(15, -1, -1, dtype=jnp.uint32) * jnp.uint32(2)
+        c = ((lanes[:, :W, None] >> sh[None, None, :]) & jnp.uint32(3)).reshape(
+            n, W * 16
+        )[:, :L]
+        if has_n:
+            shn = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+            nb = ((nmask[:, :Wn, None] >> shn[None, None, :]) & jnp.uint32(1)).reshape(
+                n, Wn * 32
+            )[:, :L]
+            c = c + (nb << jnp.uint32(2))
+        # h0[r] = sum_j v[r,j] * B^(L-1-j); uint32 accumulate == mod-2^32
+        h0 = (c * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
             axis=1, dtype=jnp.uint32
         )
         idx = jnp.arange(n, dtype=jnp.int32)
         real = idx < nreal
-        ks = jnp.where(real, h0.astype(jnp.int64), big + idx.astype(jnp.int64))
-        ks_sorted, sidx = jax.lax.sort((ks, idx), num_keys=1)
+        ks = jnp.where(real, jnp.minimum(h0, _INVALID_KEY - 1), _INVALID_KEY)
+        ks_sorted, sidx = jax.lax.sort((ks, idx), num_keys=1, is_stable=True)
         nxt_key_same = jnp.concatenate(
-            [ks_sorted[1:] == ks_sorted[:-1], jnp.zeros(1, dtype=jnp.bool_)]
+            [(ks_sorted[1:] == ks_sorted[:-1]) & (ks_sorted[1:] != _INVALID_KEY),
+             jnp.zeros(1, dtype=jnp.bool_)]
         )
         me = sidx
-        nxt = jnp.concatenate([sidx[1:], sidx[:1]])
-        ra = jnp.take(codes, me, axis=0)
-        rb = jnp.take(codes, jnp.clip(nxt, 0, n - 1), axis=0)
+        nxt = jnp.clip(jnp.concatenate([sidx[1:], sidx[:1]]), 0, n - 1)
+        ra = jnp.take(lanes[:, :W], me, axis=0)
+        rb = jnp.take(lanes[:, :W], nxt, axis=0)
         eq = (ra == rb).all(axis=1)
+        if has_n:
+            eq = eq & (
+                jnp.take(nmask[:, :Wn], me, axis=0)
+                == jnp.take(nmask[:, :Wn], nxt, axis=0)
+            ).all(axis=1)
         matched = nxt_key_same & eq
         succ = jnp.full((n,), -1, dtype=jnp.int32)
         ovl = jnp.zeros((n,), dtype=jnp.int32)
@@ -306,21 +372,21 @@ def _build_init_fn(n: int, L: int):
     return jax.jit(init_fn)
 
 
-def _build_compact_fn(n_old: int, n_new: int, L: int):
+def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool):
     """Device-side table compaction: stable-partition active rows to the
     front (one kv sort of n_old keys) and gather the first n_new rows of
     every per-row array. Dropped rows have already written their links to
     the global succ/ovl arrays, so no information is lost."""
     jax, jnp = _jax()
 
-    def compact_fn(codes, ids, h, p, a_s, a_p):
+    def compact_fn(lanes, nmask, ids, h, p, a_s, a_p):
         pos = jnp.arange(n_old, dtype=jnp.int32)
-        drop = ~(a_s | a_p)
-        key = drop.astype(jnp.int64) * jnp.int64(n_old) + pos.astype(jnp.int64)
-        _, perm = jax.lax.sort((key, pos), num_keys=1)
+        drop = (~(a_s | a_p)).astype(jnp.int32)
+        _, perm = jax.lax.sort((drop, pos), num_keys=1, is_stable=True)
         sel = perm[:n_new]
         return (
-            jnp.take(codes, sel, axis=0),
+            jnp.take(lanes, sel, axis=0),
+            jnp.take(nmask, sel, axis=0) if has_n else nmask,
             jnp.take(ids, sel),
             jnp.take(h, sel),
             jnp.take(p, sel),
@@ -329,13 +395,6 @@ def _build_compact_fn(n_old: int, n_new: int, L: int):
         )
 
     return jax.jit(compact_fn)
-
-
-def _roll_rows(jnp, mat, shift):
-    """Roll every row left by a dynamic `shift` (row r: out[:, t] = mat[:, t+shift mod L])."""
-    L = mat.shape[1]
-    cols = (jnp.arange(L, dtype=jnp.int32) + shift) % L
-    return jnp.take(mat, cols, axis=1)
 
 
 _FN_CACHE: dict[tuple, object] = {}
@@ -370,6 +429,8 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
     (ParallelGreedySwiping...cpp:213-252) as the work-shrinking mechanism.
     """
     jax, jnp = _jax()
+    from ..core import packed as packed_mod
+
     n, L = codes.shape
     if n == 0:
         return OverlapResult(np.zeros(0, np.int32), np.zeros(0, np.int32), L)
@@ -379,14 +440,13 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
     # bucket N to limit distinct compiled shapes; padding rows are inert
     # (zero reads marked inactive in both tables from the start)
     n_pad = _bucket_size(n)
-    if n_pad != n:
-        codes = np.concatenate(
-            [codes, np.zeros((n_pad - n, L), dtype=codes.dtype)], axis=0
-        )
+    lanes_np, nmask_np = packed_mod.pack_lanes(codes, n_pad)
+    has_n = nmask_np is not None
 
-    init_fn = _cached("init", _build_init_fn, n_pad, L)
-    codes_d = jnp.asarray(codes)
-    h0, a_s, a_p, succ_g, ovl_g = init_fn(codes_d, jnp.int32(n))
+    init_fn = _cached("init", _build_init_fn, n_pad, L, has_n)
+    lanes_d = jnp.asarray(lanes_np)
+    nmask_d = jnp.asarray(nmask_np) if has_n else jnp.zeros((1, 1), dtype=jnp.uint32)
+    h0, a_s, a_p, succ_g, ovl_g = init_fn(lanes_d, nmask_d, jnp.int32(n))
     ids = jnp.arange(n_pad, dtype=jnp.int32)
     h, p = h0, h0
     n_loc = n_pad
@@ -394,26 +454,35 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
 
     i = 1
     seg_idx = 0
+    pending = None  # (n_act, n_suf, n_pref) device futures of the PREVIOUS segment
     while i < iters:
         seg = _SEG_PLAN[seg_idx] if seg_idx < len(_SEG_PLAN) else _SEG_TAIL
         seg_idx += 1
         i1 = min(i + seg, iters)
-        seg_fn = _cached("seg", _build_seg_fn, n_loc, L)
+        seg_fn = _cached("seg", _build_seg_fn, n_loc, L, has_n)
         h, p, a_s, a_p, succ_g, ovl_g, n_act, n_suf, n_pref = seg_fn(
-            codes_d, ids, h, p, a_s, a_p, succ_g, ovl_g,
+            lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_g, ovl_g,
             jnp.int32(i), jnp.int32(i1),
         )
         i = i1
         if i >= iters:
             break
-        cnt, csuf, cpref = (int(v) for v in jax.device_get((n_act, n_suf, n_pref)))
-        if csuf == 0 or cpref == 0:
-            break  # nothing left to match — remaining rounds are no-ops
-        n_new = max(_bucket_size(cnt), _COMPACT_FLOOR)
-        if n_new <= n_loc // 2:
-            compact_fn = _cached("compact", _build_compact_fn, n_loc, n_new, L)
-            codes_d, ids, h, p, a_s, a_p = compact_fn(codes_d, ids, h, p, a_s, a_p)
-            n_loc = n_new
+        # read the PREVIOUS segment's counts: the readback overlaps with the
+        # segment just dispatched (dispatch is async), so the host never
+        # stalls on a fresh count round-trip; compaction runs one segment
+        # late with counts that are only ever over-estimates — safe
+        if pending is not None:
+            cnt, csuf, cpref = (int(v) for v in jax.device_get(pending))
+            if csuf == 0 or cpref == 0:
+                break  # nothing left to match — remaining rounds are no-ops
+            n_new = max(_bucket_size(cnt), _COMPACT_FLOOR)
+            if n_new < n_loc:
+                compact_fn = _cached("compact", _build_compact_fn, n_loc, n_new, L, has_n)
+                lanes_d, nmask_d, ids, h, p, a_s, a_p = compact_fn(
+                    lanes_d, nmask_d, ids, h, p, a_s, a_p
+                )
+                n_loc = n_new
+        pending = (n_act, n_suf, n_pref)
 
     # device_get, not np.asarray: the __array__ readback path stalls ~10 s
     # per call on a tunneled TPU, device_get transfers in ms
@@ -557,8 +626,20 @@ def generate_pseudogenome(codes: np.ndarray, coef: float = 1.0):
 
     Returns (pg_codes, order, pos_sorted) where order is the reads-list
     (pg-order) permutation of read indexes and pos_sorted their positions.
+
+    The post-processing normally runs as one sequential native pass
+    (native/chainwalk.cpp — the reference's chain-walk assembly,
+    AbstractOverlapPseudoGenomeGenerator.cpp:181-219); the numpy
+    pointer-doubling path below is the semantic reference and fallback.
     """
     res = find_overlaps(codes, coef)
+    if res.succ.size:
+        from .. import native
+
+        fast = native.chain_walk_assemble(res.succ, res.overlap, codes)
+        if fast is not None:
+            pos, order, pg = fast
+            return pg, order.astype(np.int64), pos[order]
     remove_cycles(res)
     layout = layout_chains(res)
     pg = assemble_pg(codes, layout)

@@ -30,24 +30,26 @@ def sharded_match_step(mesh, read_len: int, k: int, bits: int, cap: int,
     """Build a pjit-ed, shard_map-ed device step: packed reads (sharded) vs
     replicated pg index -> per-read best match + psum'd match histogram.
 
-    Returns fn(read_codes [N,L] u8, probe_hashes [N,S] u32, starts, positions,
-    pg_lanes, pg_len) -> (mis [N] u8, pos [N] i64, hist [256] i32 replicated).
+    Returns fn(read_codes [N,L] u8, starts, positions, pg_lanes [P] u32,
+    pg_len [1] i32) -> (mis [N] u8, pos [N] i32, hist [256] i32 replicated).
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     from ..align import matcher as am
     from ..core import packed
 
-    def local_step(codes, phashes, starts, positions, pg_lanes, pg_len):
+    def local_step(codes, starts, positions, pg_lanes, pg_len):
         n_local = codes.shape[0]
         probe = am._build_probe_fn(
             n_local, read_len, probe_offs, cap, k, bits, pg_lanes.shape[0], max_mis
         )
-        lanes = packed.widen_lanes_u64(packed.pack_2bit(codes))
-        mis, pos = probe(lanes, phashes, starts, positions, pg_lanes, pg_len[0])
+        lanes = jnp.concatenate(
+            [packed.pack_2bit(codes), jnp.zeros((n_local, 1), jnp.uint32)], axis=1
+        )
+        mis, pos = probe(lanes, starts, positions, pg_lanes, pg_len[0])
         hist = jnp.zeros(256, dtype=jnp.int32).at[mis.astype(jnp.int32)].add(
             1, mode="drop"
         )
@@ -57,7 +59,7 @@ def sharded_match_step(mesh, read_len: int, k: int, bits: int, cap: int,
     smapped = shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P(), P(), P(), P()),
+        in_specs=(P("data"), P(), P(), P(), P()),
         out_specs=(P("data"), P("data"), P()),
     )
     return jax.jit(smapped)

@@ -31,6 +31,9 @@ RANGE_O0 = 4
 RANGE_O1 = 5
 VARLEN_DNA = 6
 RANGE_CTX = 7   # order-k context range coder: p1 = order, p2 = nsym (0 -> 256)
+BLOCKED = 8     # parallel-blocks wrapper: p1 = inner coder id, p2 = inner p1
+
+BLOCK_SIZE = 4 << 20  # bytes per parallel block (reference ParallelBlocksCoder >=1 MiB)
 
 # coder levels, mirroring CODER_LEVEL_FAST/NORMAL/MAX
 LEVEL_FAST = 1
@@ -129,6 +132,24 @@ class Codec:
                 np.frombuffer(data, dtype=np.uint8), nsym=self.p2 or 256,
                 order=self.p1,
             )
+        if self.coder_id == BLOCKED:
+            # split into BLOCK_SIZE blocks compressed concurrently by the
+            # inner codec (coders/CodersLib.cpp:422-493 ParallelBlocks role)
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..utils.varint import write_varint
+
+            inner = Codec(self.p1, self.p2)
+            blocks = [data[o : o + BLOCK_SIZE] for o in range(0, max(len(data), 1), BLOCK_SIZE)]
+            with ThreadPoolExecutor(max_workers=min(8, len(blocks))) as ex:
+                outs = list(ex.map(inner.compress, blocks))
+            buf = bytearray()
+            write_varint(buf, len(blocks))
+            for b in outs:
+                write_varint(buf, len(b))
+            for b in outs:
+                buf.extend(b)
+            return bytes(buf)
         raise ValueError(f"unknown coder id {self.coder_id}")
 
     def decompress(self, data: bytes, raw_len: int) -> bytes:
@@ -159,6 +180,26 @@ class Codec:
             return rangecoder.decode_ctx(
                 data, raw_len, nsym=self.p2 or 256, order=self.p1
             ).tobytes()
+        if self.coder_id == BLOCKED:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from ..utils.varint import read_varint
+
+            inner = Codec(self.p1, self.p2)
+            nblocks, pos = read_varint(data, 0)
+            lens = []
+            for _ in range(nblocks):
+                ln, pos = read_varint(data, pos)
+                lens.append(ln)
+            payloads = []
+            for ln in lens:
+                payloads.append(data[pos : pos + ln])
+                pos += ln
+            raw_lens = [min(BLOCK_SIZE, raw_len - i * BLOCK_SIZE) for i in range(nblocks)]
+            with ThreadPoolExecutor(max_workers=min(8, nblocks or 1)) as ex:
+                outs = list(ex.map(lambda t: inner.decompress(t[0], t[1]),
+                                   zip(payloads, raw_lens)))
+            return b"".join(outs)
         raise ValueError(f"unknown coder id {self.coder_id}")
 
     def key(self) -> tuple:

@@ -47,6 +47,15 @@ def _compress_one(job: CompressionJob) -> bytes:
 
     t0 = time.monotonic()
     candidates = [job.codec, *job.alternatives]
+    if len(job.data) > 2 * codecs.BLOCK_SIZE:
+        # big stream: swap single-shot LZMA/ZSTD for the parallel-blocks
+        # wrapper (intra-stream thread parallelism, small ratio loss)
+        candidates = [
+            Codec(codecs.BLOCKED, c.coder_id, c.p1)
+            if c.coder_id in (codecs.LZMA_CODER, codecs.ZSTD) and c.p2 <= 1
+            else c
+            for c in candidates
+        ]
     best_codec, best = codecs.select_best(candidates, job.data)
     rec = bytearray()
     if len(best) >= len(job.data):

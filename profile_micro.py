@@ -27,15 +27,18 @@ jax, jnp = g._jax()
 def timed_find_overlaps(codes_np, coef):
     n, L = codes_np.shape
     n_pad = g._bucket_size(n)
-    if n_pad != n:
-        codes_np = np.concatenate([codes_np, np.zeros((n_pad - n, L), dtype=codes_np.dtype)], axis=0)
     t0 = time.time()
-    init_fn = g._cached("init", g._build_init_fn, n_pad, L)
-    codes_d = jnp.asarray(codes_np)
-    codes_d.block_until_ready()
+    lanes_np, nmask_np = packed.pack_lanes(codes_np, n_pad)
+    has_n = nmask_np is not None
+    t_pack = time.time() - t0
+    t0 = time.time()
+    init_fn = g._cached("init", g._build_init_fn, n_pad, L, has_n)
+    lanes_d = jnp.asarray(lanes_np)
+    nmask_d = jnp.asarray(nmask_np) if has_n else jnp.zeros((1, 1), dtype=jnp.uint32)
+    lanes_d.block_until_ready()
     t_up = time.time() - t0
     t0 = time.time()
-    h0, a_s, a_p, succ_g, ovl_g = init_fn(codes_d, jnp.int32(n))
+    h0, a_s, a_p, succ_g, ovl_g = init_fn(lanes_d, nmask_d, jnp.int32(n))
     jax.block_until_ready(succ_g)
     t_init = time.time() - t0
     ids = jnp.arange(n_pad, dtype=jnp.int32)
@@ -51,10 +54,10 @@ def timed_find_overlaps(codes_np, coef):
         seg = g._SEG_PLAN[seg_idx] if seg_idx < len(g._SEG_PLAN) else g._SEG_TAIL
         seg_idx += 1
         i1 = min(i + seg, iters)
-        seg_fn = g._cached("seg", g._build_seg_fn, n_loc, L)
+        seg_fn = g._cached("seg", g._build_seg_fn, n_loc, L, has_n)
         t0 = time.time()
         h, p, a_s, a_p, succ_g, ovl_g, n_act, n_suf, n_pref = seg_fn(
-            codes_d, ids, h, p, a_s, a_p, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1))
+            lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1))
         jax.block_until_ready(n_act)
         seg_times.append((n_loc, i1 - i, time.time() - t0))
         i = i1
@@ -68,15 +71,15 @@ def timed_find_overlaps(codes_np, coef):
         n_new = max(g._bucket_size(cnt), g._COMPACT_FLOOR)
         if n_new <= n_loc // 2:
             t0 = time.time()
-            compact_fn = g._cached("compact", g._build_compact_fn, n_loc, n_new, L)
-            codes_d, ids, h, p, a_s, a_p = compact_fn(codes_d, ids, h, p, a_s, a_p)
+            compact_fn = g._cached("compact", g._build_compact_fn, n_loc, n_new, L, has_n)
+            lanes_d, nmask_d, ids, h, p, a_s, a_p = compact_fn(lanes_d, nmask_d, ids, h, p, a_s, a_p)
             jax.block_until_ready(h)
             compact_times += time.time() - t0
             n_loc = n_new
     t0 = time.time()
     succ_h, ovl_h = jax.device_get((succ_g, ovl_g))
     t_down = time.time() - t0
-    print(f"  upload {t_up*1000:.0f}ms init {t_init*1000:.0f}ms | segs:", flush=True)
+    print(f"  pack {t_pack*1000:.0f}ms upload {t_up*1000:.0f}ms init {t_init*1000:.0f}ms | segs:", flush=True)
     for nl, rounds, dt in seg_times:
         print(f"    n_loc={nl:7d} rounds={rounds:3d} {dt*1000:7.0f}ms ({dt/rounds*1000:5.1f}ms/round)")
     print(f"  sync {sync_times*1000:.0f}ms compact {compact_times*1000:.0f}ms download {t_down*1000:.0f}ms")
@@ -105,47 +108,16 @@ print(f"host cycle+layout+assemble {time.time()-t0:.3f}s pg={pg.size}")
 # ---- stage 4 internals ----
 lq_idx = np.nonzero(~(~n_mask & hq_mask))[0]
 cand = np.concatenate([codes[lq_idx], codes[hq_idx[~keep]]])
-pc = cand.copy(); pc[pc == dna.N] = dna.A
 k = 32
 index = am.build_index(pg, k=k, bits=max(14, min(24, (len(pg) // 4).bit_length())))
-print(f"cand={pc.shape[0]} index pos={index.positions.size}")
+print(f"cand={cand.shape[0]} index pos={index.positions.size}")
 
 for rep in ("warm", "meas"):
     t0 = time.time()
-    rc_codes = packed.revcomp_codes_matrix(pc)
-    all_codes = np.concatenate([pc, rc_codes], axis=0)
-    all_lanes = packed.widen_lanes_u64(packed.pack_2bit(all_codes))
-    t_pack = time.time() - t0
-
-    offs_full = am.probe_offsets(100, k, am.DEFAULT_K2)
-    offs_p1 = (offs_full[0], offs_full[len(offs_full) // 2], offs_full[-1])
-    t0 = time.time()
-    hashes_p1 = am._read_probe_hashes(all_codes, k, offs_p1)
-    t_hash = time.time() - t0
-
-    pg_lanes = packed.widen_lanes_u64(packed.pack_text_2bit(pg)[None, :])[0]
-    pg_lanes = am._pad_1d(pg_lanes, am._probe_bucket(len(pg_lanes)))
-    positions = am._pad_1d(index.positions.astype(np.int32), am._probe_bucket(max(index.positions.size, 1)))
-    t0 = time.time()
-    dev = (jnp.asarray(index.starts.astype(np.int32)), jnp.asarray(positions),
-           jnp.asarray(pg_lanes), len(pg_lanes))
-    jax.block_until_ready(dev[2])
-    t_up = time.time() - t0
+    res = am.match_reads(cand, index, pg, max_mismatches=33, cap=8)
+    um = int((res.pos < 0).sum())
+    print(f"[{rep}] match_reads total {time.time()-t0:.3f}s unmatched={um} rc={int(res.rc.sum())}")
 
     t0 = time.time()
-    mis2, pos2 = am._probe_batch(all_lanes, hashes_p1, offs_p1, 4, index, dev, 33, 100)
-    t_p1 = time.time() - t0
-
-    n = pc.shape[0]
-    fm, rm = mis2[:n], mis2[n:]
-    todo = np.minimum(fm, rm) > 2
-    rows = np.nonzero(todo)[0]
-    t0 = time.time()
-    sel = np.concatenate([rows, rows + n])
-    hashes_p2 = am._read_probe_hashes(all_codes[sel], k, offs_full)
-    t_hash2 = time.time() - t0
-    t0 = time.time()
-    mis_t, pos_t = am._probe_batch(all_lanes[sel], hashes_p2, offs_full, 8, index, dev, 33, 100)
-    t_p2 = time.time() - t0
-    print(f"[{rep}] pack {t_pack:.3f} hash1 {t_hash:.3f} upload {t_up:.3f} "
-          f"pass1 {t_p1:.3f} (rows={2*n}) hash2 {t_hash2:.3f} pass2 {t_p2:.3f} (rows={sel.size})")
+    lanes_f, _ = packed.pack_lanes(cand)
+    print(f"  pack_lanes (native): {time.time()-t0:.3f}s")

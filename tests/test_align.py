@@ -60,7 +60,10 @@ def test_window_hash_consistency():
     seq = rng.integers(0, 4, size=500, dtype=np.uint8)
     k = 32
     h = matcher._window_hashes(seq, k)
-    pows = matcher._pow_at(np.arange(k - 1, -1, -1))
+    pows = np.array(
+        [pow(int(matcher.HASH_BASE), k - 1 - t, 1 << 32) for t in range(k)],
+        dtype=np.uint32,
+    )
     for i in (0, 1, 7, 100, 468):
         direct = np.uint32((seq[i : i + k].astype(np.uint64) * pows.astype(np.uint64)).sum() & 0xFFFFFFFF)
         assert h[i] == direct, i

@@ -128,3 +128,64 @@ def test_native_rangecoder_bitcompat():
         np.testing.assert_array_equal(dec_py, data)
         enc_py2 = rc._py_encode(data, order, period, nsym)
         assert enc_py2 == enc_native
+
+
+def test_blocked_codec_roundtrip():
+    import numpy as np
+
+    from pgrc_tpu.streams.codecs import BLOCKED, ZSTD, LZMA_CODER, Codec, BLOCK_SIZE
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 4, size=BLOCK_SIZE * 2 + 12345, dtype=np.uint8).tobytes()
+    for inner, p in ((ZSTD, 3), (LZMA_CODER, 1)):
+        c = Codec(BLOCKED, inner, p)
+        comp = c.compress(data)
+        assert c.decompress(comp, len(data)) == data
+
+
+def test_blocked_codec_small_and_empty():
+    from pgrc_tpu.streams.codecs import BLOCKED, ZSTD, Codec
+
+    c = Codec(BLOCKED, ZSTD, 3)
+    for data in (b"", b"x", b"hello" * 100):
+        assert c.decompress(c.compress(data), len(data)) == data
+
+
+def test_pe_ord_positions_wide_roundtrip():
+    """>4 GB joined-pg positions must survive the PE_ORD codec (no silent
+    u32 truncation) — codec-level test, no giant allocation."""
+    import io
+
+    import numpy as np
+
+    from pgrc_tpu.archive import order as order_enc
+    from pgrc_tpu.streams.container import StreamReader
+
+    rng = np.random.default_rng(5)
+    n_pairs = 500
+    base = rng.integers(0, 1 << 36, n_pairs).astype(np.int64)
+    mate = base + rng.integers(-70000, 70000, n_pairs)
+    mate = np.clip(mate, 0, None)
+    pos = np.empty(n_pairs * 2, dtype=np.int64)
+    pos[0::2] = base
+    pos[1::2] = mate
+    buf = io.BytesIO()
+    order_enc.encode_positions_pe(buf, pos)
+    back = order_enc.decode_positions_pe(StreamReader(buf.getvalue()), pos.size)
+    assert np.array_equal(back, pos)
+
+
+def test_pe_ord_positions_narrow_roundtrip():
+    import io
+
+    import numpy as np
+
+    from pgrc_tpu.archive import order as order_enc
+    from pgrc_tpu.streams.container import StreamReader
+
+    rng = np.random.default_rng(6)
+    pos = rng.integers(0, 1 << 30, 1000).astype(np.int64)
+    buf = io.BytesIO()
+    order_enc.encode_positions_pe(buf, pos)
+    back = order_enc.decode_positions_pe(StreamReader(buf.getvalue()), pos.size)
+    assert np.array_equal(back, pos)
