@@ -152,7 +152,13 @@ def _mark_and_remove(
     if dest_len < min_len or index.positions.size == 0:
         return dest, np.zeros(0, np.int64), np.zeros(0, np.int64)
     query = dna.COMPL_VAL[dest[::-1]]  # revcomp(dest)
-    m = _find_matches(src, index, query, min_len)
+    from .. import native
+
+    m = native.pg_find_matches(
+        src, query, min_len, ANCHOR_K, SRC_STRIDE, DEST_STRIDE, CAP * 4
+    )
+    if m is None:
+        m = _find_matches(src, index, query, min_len)
     if m.size == 0:
         return dest, np.zeros(0, np.int64), np.zeros(0, np.int64)
     # convert query coords back to dest coords (reference

@@ -19,7 +19,8 @@ _SOURCES = [os.path.join(_HERE, "rangecoder.cpp"),
             os.path.join(_HERE, "pairwalk.cpp"),
             os.path.join(_HERE, "fastqio.cpp"),
             os.path.join(_HERE, "packcodes.cpp"),
-            os.path.join(_HERE, "chainwalk.cpp")]
+            os.path.join(_HERE, "chainwalk.cpp"),
+            os.path.join(_HERE, "pgmatch.cpp")]
 
 _lock = threading.Lock()
 _lib_handle = None
@@ -108,6 +109,12 @@ def get_lib():
                                     i64p, u8p]
         lib.reads_write_lines.restype = None
         lib.reads_write_lines.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u8p]
+        lib.pg_find_matches.restype = ctypes.c_int64
+        lib.pg_find_matches.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, ctypes.c_int64,
+        ]
         _lib_handle = lib
     return _lib_handle
 
@@ -258,6 +265,35 @@ def chain_walk_assemble(succ, ovl, codes):
     if got != pg_len:
         return None
     return pos, order, pg
+
+
+def pg_find_matches(src, query, min_len: int, k: int, k1: int, k2: int,
+                    max_bucket: int = 16):
+    """Maximal exact matches (>= min_len) of query vs src (sequential native
+    MEM scan; see pgmatch.cpp). Returns [M, 3] (src_pos, query_pos, length)
+    int64 or None when native is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    cap = 4096
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    while True:
+        spos = np.empty(cap, dtype=np.int64)
+        qpos = np.empty(cap, dtype=np.int64)
+        lens = np.empty(cap, dtype=np.int64)
+        m = lib.pg_find_matches(
+            _u8p(src), src.size, _u8p(query), query.size,
+            min_len, k, k1, k2, max_bucket,
+            spos.ctypes.data_as(i64p), qpos.ctypes.data_as(i64p),
+            lens.ctypes.data_as(i64p), cap,
+        )
+        if m >= 0:
+            return np.stack([spos[:m], qpos[:m], lens[:m]], axis=1)
+        cap *= 4
 
 
 def rcx_encode(data: bytes, nsym: int, order: int) -> bytes | None:
