@@ -106,10 +106,13 @@ def build_index(
     return KmerIndex(starts=starts, positions=pos_sorted, k=k, k1=k1, bits=bits, pg_len=n)
 
 
-def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits: int,
-                    pg_lanes_len: int, max_mis: int):
-    """Jitted device probe: packed read lanes -> (hash, bucket, gather,
-    cross-lane-shift XOR/popcount verify, two-step deterministic min).
+def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits: int,
+                pg_lanes_len: int, max_mis: int):
+    """Raw (unjitted) device probe: packed read lanes -> (hash, bucket,
+    gather, cross-lane-shift XOR/popcount verify, two-step deterministic
+    min). Per-read independent, so any row partitioning gives identical
+    results — the same function body runs jitted single-device and
+    shard_mapped over a device mesh.
 
     Probe hashes are computed on device from the lanes (one [R, L]
     unpack + prefix-sum rolling hash), so the host only uploads packed
@@ -185,7 +188,31 @@ def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, b
             jnp.where(ok, best_pos, -1).astype(jnp.int32),
         )
 
-    return jax.jit(probe_fn)
+    return probe_fn
+
+
+def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int,
+                    bits: int, pg_lanes_len: int, max_mis: int, mesh=None):
+    """Jitted probe; with `mesh` the read rows are sharded over the "data"
+    axis and the CSR index + packed pg stay replicated (the TPU mapping of
+    the reference's OMP per-read loop, matching/ReadsMatchers.cpp:426-428).
+    Results are identical to the single-device program."""
+    jax, _ = _jax()
+    if mesh is None:
+        return jax.jit(_make_probe(n_reads, L, probe_offs, cap, k, bits,
+                                   pg_lanes_len, max_mis))
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    D = int(np.prod(mesh.devices.shape))
+    local = _make_probe(n_reads // D, L, probe_offs, cap, k, bits,
+                        pg_lanes_len, max_mis)
+    smapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data"), P(), P(), P(), P()),
+        out_specs=(P("data"), P("data")),
+    )
+    return jax.jit(smapped)
 
 
 _PROBE_CACHE: dict[tuple, object] = {}
@@ -202,21 +229,26 @@ class MatchResult:
     mis: np.ndarray       # [R] uint8 (255 = unmatched)
 
 
-def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows):
+def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
+                 mesh=None):
     """Probe a [R, W+1] u32 lane batch in bucketed chunks."""
     jax, jnp = _jax()
     n = rows_lanes.shape[0]
     out_mis = np.full(n, 255, dtype=np.uint8)
     out_pos = np.full(n, -1, dtype=np.int64)
     starts_d, positions_d, pg_lanes_d, pg_lanes_len = dev
+    D = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    if D == 1:
+        mesh = None
     for lo in range(0, n, batch_rows):
         hi = min(lo + batch_rows, n)
         bn = hi - lo
-        bsz = min(_probe_bucket(bn), batch_rows)
-        key = (bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis)
+        bsz = min(max(_probe_bucket(bn), D), batch_rows)
+        key = (bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis, D)
         if key not in _PROBE_CACHE:
             _PROBE_CACHE[key] = _build_probe_fn(
-                bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis
+                bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis,
+                mesh=mesh,
             )
         probe_fn = _PROBE_CACHE[key]
         lanes = _pad_rows(rows_lanes[lo:hi], bsz)
@@ -254,6 +286,7 @@ def match_reads(
     k2: int = DEFAULT_K2,
     batch: int = 65536,
     accept_mis: int = 2,
+    mesh=None,
 ) -> MatchResult:
     """Match every read against the indexed pg, forward-first.
 

@@ -139,13 +139,15 @@ def _col_vals(jax, jnp, lanes, nmask, t, has_n):
     return c
 
 
-def _suffix_eq_prefix(jax, jnp, lanes, nmask, pr_c, i, L, has_n):
-    """Exact packed comparison: row r's suffix starting at column i equals
-    row pr_c[r]'s prefix of length L-i. Cross-lane shift extraction on 2-bit
-    lanes (and 1-bit N lanes), masked to the compared length — replaces the
-    [n, L] uint8 gathers of the first design with [n, W] uint32 lane math."""
+def _suffix_eq_prefix(jax, jnp, lanes, nmask, lanes_full, nmask_full, pr_id,
+                      i, L, has_n):
+    """Exact packed comparison: local row r's suffix starting at column i
+    equals GLOBAL read pr_id[r]'s prefix of length L-i. The suffix side is
+    extracted from the (possibly compacted) local lane table with cross-lane
+    shifts; the prefix side gathers from the full global lane table by read
+    id, so the comparison is independent of how rows are partitioned across
+    devices or compacted over time."""
     W, Wn = _lane_dims(L)
-    n = lanes.shape[0]
     q = i // 16
     s2 = ((i % 16) * 2).astype(jnp.uint32)
     lane_idx = jnp.clip(q + jnp.arange(W + 1, dtype=jnp.int32), 0, W)
@@ -153,7 +155,7 @@ def _suffix_eq_prefix(jax, jnp, lanes, nmask, pr_c, i, L, has_n):
     hi = a[:, :W] << s2
     lo = jnp.where(s2 > 0, a[:, 1 : W + 1] >> (jnp.uint32(32) - s2), jnp.uint32(0))
     suf = hi | lo
-    rb = jnp.take(lanes[:, :W], pr_c, axis=0)
+    rb = jnp.take(lanes_full[:, :W], pr_id, axis=0)
     rem = (jnp.int32(L) - i).astype(jnp.int32)
     kvec = jnp.clip(rem - 16 * jnp.arange(W, dtype=jnp.int32), 0, 16)
     shift = jnp.clip(32 - 2 * kvec, 0, 31).astype(jnp.uint32)
@@ -167,7 +169,7 @@ def _suffix_eq_prefix(jax, jnp, lanes, nmask, pr_c, i, L, has_n):
         hi_n = an[:, :Wn] << sn
         lo_n = jnp.where(sn > 0, an[:, 1 : Wn + 1] >> (jnp.uint32(32) - sn), jnp.uint32(0))
         sufn = hi_n | lo_n
-        rbn = jnp.take(nmask[:, :Wn], pr_c, axis=0)
+        rbn = jnp.take(nmask_full[:, :Wn], pr_id, axis=0)
         kn = jnp.clip(rem - 32 * jnp.arange(Wn, dtype=jnp.int32), 0, 32)
         shiftn = jnp.clip(32 - kn, 0, 31).astype(jnp.uint32)
         maskn = jnp.where(kn > 0, jnp.uint32(0xFFFFFFFF) << shiftn, jnp.uint32(0))
@@ -178,7 +180,7 @@ def _suffix_eq_prefix(jax, jnp, lanes, nmask, pr_c, i, L, has_n):
 _INVALID_KEY = np.uint32(0xFFFFFFFF)
 
 
-def _build_seg_fn(n: int, L: int, has_n: bool):
+def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     """A segment of overlap rounds [i0, i1) at local table size `n` as one
     device program. Per-row state (h, p, active flags, orig ids) is local to
     the compacted table; links are scattered straight into the global
@@ -188,16 +190,24 @@ def _build_seg_fn(n: int, L: int, has_n: bool):
     Each round pairs suffixes with prefixes through a hash TABLE instead of
     a sort (the earlier design sorted 2n (hash|side) keys per round, ~60 ns
     per row per round; scatter/gather rounds are ~5x cheaper): active
-    prefixes scatter-min their row id into an 8n-slot table at FOUR probe
-    slots (independent Fibonacci mixes of the rolling hash), suffixes
-    gather all four candidates and take the first whose full 32-bit hash
+    prefixes scatter-min their GLOBAL read id into an 8*n_glob-slot table at
+    FOUR probe slots (independent Fibonacci mixes of the rolling hash) and
+    the winning prefix writes its full 32-bit hash into a companion table;
+    suffixes gather all four candidates and take the first whose full hash
     agrees, verify exactly on the packed lanes, and claim prefixes by
-    scatter-min (deterministic: lowest suffix row wins). A pair is lost
-    only when all four of its partner's slots are stolen by lower-id
-    prefixes — measured ~3e-5 at 70% load — and verification guarantees a
-    hash collision can never produce a wrong link.
+    scatter-min over global ids (deterministic: lowest suffix id wins). A
+    pair is lost only when all four of its partner's slots are stolen by
+    lower-id prefixes — measured ~3e-5 at 70% load — and verification
+    guarantees a hash collision can never produce a wrong link.
 
-    All round state is 32-bit (u32 hashes, i32 rows); reads are packed
+    Every tie-break is on GLOBAL read ids and every table is keyed by hash,
+    so the result is independent of row partitioning: with `mesh` set, the
+    same program runs under shard_map with rows sharded over the "data"
+    axis, the id/hash tables merged with pmin/psum each round, and links
+    merged with pmax at segment end — byte-identical to the 1-device run
+    (the OMP-loops-to-collectives mapping of SURVEY §2.8).
+
+    All round state is 32-bit (u32 hashes, i32 ids); reads are packed
     2-bit lanes (+1-bit N mask)."""
     jax, jnp = _jax()
 
@@ -206,13 +216,25 @@ def _build_seg_fn(n: int, L: int, has_n: bool):
     # which costs ~80 s per array over a tunneled TPU
     pows = _pow_table(L)
     inv = np.uint32(HASH_BASE_INV)
-    tb = 8 * n                      # hash-table slots (power of two)
+    # table size is tied to the GLOBAL padded read count (not the compacted
+    # local size) so the slot mapping — and therefore every link decision —
+    # is identical across compaction schedules and device counts
+    tb = 8 * n_glob                 # hash-table slots (power of two)
     shift = np.uint32(32 - (tb.bit_length() - 1))
+    BIG = np.int32(n_glob)          # "no id" sentinel (> any real id)
     # odd Fibonacci-style multipliers, one per probe slot
     MIXES = (np.uint32(0x9E3779B1), np.uint32(0x85EBCA77),
              np.uint32(0xC2B2AE3D), np.uint32(0x27D4EB2F))
+    axis = "data" if mesh is not None else None
 
-    def round_fn(i, lanes, nmask, ids, h, p, active_s, active_p, succ_g, ovl_g):
+    def _allmin(x):
+        return jax.lax.pmin(x, axis) if axis else x
+
+    def _allsum(x):
+        return jax.lax.psum(x, axis) if axis else x
+
+    def round_fn(i, lanes, nmask, lanes_full, nmask_full, ids, h, p,
+                 active_s, active_p, succ_g, ovl_g):
         # --- rolling hash updates (suffix drops column i-1, prefix drops
         #     column L-i) — these run every round even if matching is
         #     skipped, the recurrences are cumulative ---
@@ -223,67 +245,105 @@ def _build_seg_fn(n: int, L: int, has_n: bool):
 
         def do_match(args):
             h, p, active_s, active_p, succ_g, ovl_g = args
-            rows = jnp.arange(n, dtype=jnp.int32)
-            # --- prefix table: four probe slots per prefix (independent
-            # mixes of the same hash), scatter-min of the row id ---
-            table = jnp.full((tb,), n, dtype=jnp.int32)
+            # --- prefix id table: four probe slots per prefix (independent
+            # mixes of the same hash), scatter-min of the global read id ---
+            slots_p = []
+            table = jnp.full((tb,), BIG, dtype=jnp.int32)
             for mix in MIXES:
                 slot_pj = ((p * mix) >> shift).astype(jnp.int32)
+                slots_p.append(slot_pj)
                 table = table.at[jnp.where(active_p, slot_pj, tb)].min(
-                    rows, mode="drop"
+                    ids, mode="drop"
                 )
+            table = _allmin(table)
+            # --- companion hash table: the slot winner writes its full
+            # 32-bit hash (unique writer per slot -> psum merges exactly) ---
+            ptable = jnp.zeros((tb,), dtype=jnp.uint32)
+            for slot_pj in slots_p:
+                win = active_p & (jnp.take(table, slot_pj) == ids)
+                ptable = ptable.at[jnp.where(win, slot_pj, tb)].set(
+                    p, mode="drop"
+                )
+            ptable = _allsum(ptable)
             # --- probe: first candidate whose full 32-bit hash agrees wins
             # (fixed mix order keeps the choice deterministic) ---
-            cand = jnp.full((n,), n, dtype=jnp.int32)
+            cand = jnp.full((n,), BIG, dtype=jnp.int32)
             for mix in MIXES:
                 slot_sj = ((h * mix) >> shift).astype(jnp.int32)
                 cj = jnp.take(table, slot_sj)
-                okj = (cj < n) & (cj != rows) & (
-                    jnp.take(p, jnp.clip(cj, 0, n - 1)) == h
-                )
-                cand = jnp.where((cand == n) & okj, cj, cand)
-            has_cand = active_s & (cand < n)
-            pr_c = jnp.clip(cand, 0, n - 1)
+                pj = jnp.take(ptable, slot_sj)
+                okj = (cj < BIG) & (cj != ids) & (pj == h)
+                cand = jnp.where((cand == BIG) & okj, cj, cand)
+            has_cand = active_s & (cand < BIG)
+            pr_id = jnp.clip(cand, 0, n_glob - 1)
             # --- exact verification on packed lanes (a slot holding an
             # unequal-hash prefix is caught here) ---
-            eq = _suffix_eq_prefix(jax, jnp, lanes, nmask, pr_c, i, L, has_n)
+            eq = _suffix_eq_prefix(jax, jnp, lanes, nmask, lanes_full,
+                                   nmask_full, pr_id, i, L, has_n)
             matched_c = has_cand & eq
-            # --- claim: one suffix per prefix (min suffix row wins) ---
-            claim = jnp.full((n,), n, dtype=jnp.int32).at[
-                jnp.where(matched_c, pr_c, n)
-            ].min(rows, mode="drop")
-            matched = matched_c & (jnp.take(claim, pr_c) == rows)
+            # --- claim: one suffix per prefix (min suffix id wins) ---
+            claim = jnp.full((n_glob,), BIG, dtype=jnp.int32).at[
+                jnp.where(matched_c, pr_id, n_glob)
+            ].min(ids, mode="drop")
+            claim = _allmin(claim)
+            matched = matched_c & (jnp.take(claim, pr_id) == ids)
 
             # --- apply links in global (original read-id) space ---
             ovl_new = jnp.int32(L) - i.astype(jnp.int32)
-            ids_cand = jnp.take(ids, pr_c)
-            big_n = succ_g.shape[0]
-            succ_g = succ_g.at[jnp.where(matched, ids, big_n)].set(ids_cand, mode="drop")
-            ovl_g = ovl_g.at[jnp.where(matched, ids, big_n)].set(ovl_new, mode="drop")
+            succ_g = succ_g.at[jnp.where(matched, ids, n_glob)].set(cand, mode="drop")
+            ovl_g = ovl_g.at[jnp.where(matched, ids, n_glob)].set(ovl_new, mode="drop")
             active_s = active_s & ~matched
-            active_p = active_p.at[jnp.where(matched, pr_c, n)].set(False, mode="drop")
+            active_p = active_p & (jnp.take(claim, jnp.clip(ids, 0, n_glob - 1)) == BIG)
             return h, p, active_s, active_p, succ_g, ovl_g
 
-        some_work = active_s.any() & active_p.any()
+        some_work = _allsum(active_s.any().astype(jnp.int32)) > 0
+        some_work = some_work & (_allsum(active_p.any().astype(jnp.int32)) > 0)
         return jax.lax.cond(
             some_work, do_match, lambda a: (h, p) + a[2:],
             (h, p, active_s, active_p, succ_g, ovl_g),
         )
 
-    def seg_fn(lanes, nmask, ids, h, p, active_s, active_p, succ_g, ovl_g, i0, i1):
+    def seg_fn(lanes, nmask, lanes_full, nmask_full, ids, h, p,
+               active_s, active_p, succ_g, ovl_g, i0, i1):
+        if axis:
+            # the link arrays enter replicated but are scattered into from
+            # device-varying values inside the rounds; mark them varying up
+            # front so both lax.cond branches agree on the VMA type
+            succ_g = jax.lax.pvary(succ_g, axis)
+            ovl_g = jax.lax.pvary(ovl_g, axis)
+
         def body(i, carry):
             h, p, a_s, a_p, sg, og = carry
-            return round_fn(jnp.int32(i), lanes, nmask, ids, h, p, a_s, a_p, sg, og)
+            return round_fn(jnp.int32(i), lanes, nmask, lanes_full, nmask_full,
+                            ids, h, p, a_s, a_p, sg, og)
 
         carry = (h, p, active_s, active_p, succ_g, ovl_g)
         carry = jax.lax.fori_loop(i0, i1, body, carry)
         h, p, a_s, a_p, sg, og = carry
-        n_active = (a_s | a_p).sum(dtype=jnp.int32)
-        n_suf = a_s.sum(dtype=jnp.int32)
-        n_pref = a_p.sum(dtype=jnp.int32)
+        if axis:
+            # each global id's link is written on exactly one device (rows
+            # are disjoint and a row links at most once): max-merge replicas
+            sg = jax.lax.pmax(sg, axis)
+            og = jax.lax.pmax(og, axis)
+        n_active = _allsum((a_s | a_p).sum(dtype=jnp.int32))
+        n_suf = _allsum(a_s.sum(dtype=jnp.int32))
+        n_pref = _allsum(a_p.sum(dtype=jnp.int32))
         return h, p, a_s, a_p, sg, og, n_active, n_suf, n_pref
 
-    return jax.jit(seg_fn)
+    if mesh is None:
+        return jax.jit(seg_fn)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    S, R = P("data"), P()
+    smapped = shard_map(
+        seg_fn,
+        mesh=mesh,
+        in_specs=(S, S, R, R, S, S, S, S, S, R, R, R, R),
+        out_specs=(S, S, S, S, R, R, R, R, R),
+    )
+    return jax.jit(smapped)
 
 
 def _build_init_fn(n: int, L: int, has_n: bool):
@@ -368,6 +428,10 @@ def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool):
     return jax.jit(compact_fn)
 
 
+def _mesh_size(mesh) -> int:
+    return int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+
+
 _FN_CACHE: dict[tuple, object] = {}
 
 
@@ -385,7 +449,7 @@ _SEG_TAIL = 48
 _COMPACT_FLOOR = 2048
 
 
-def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
+def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapResult:
     """Run duplicate linking + overlap rounds; returns successor links.
 
     coef < 1 limits rounds like the reference's overlappedReadsCountStopCoef
@@ -398,6 +462,11 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
     on coverage-shaped data the active set shrinks geometrically. Replaces
     the reference's per-iteration suffix re-bucketing
     (ParallelGreedySwiping...cpp:213-252) as the work-shrinking mechanism.
+
+    With `mesh` (a 1-D jax Mesh over axis "data") the rounds run sharded:
+    rows are data-parallel across devices, the per-round id/hash tables and
+    claims merge via pmin/psum collectives, and link tie-breaks use global
+    read ids — the archive is byte-identical to the 1-device run.
     """
     jax, jnp = _jax()
     from ..core import packed as packed_mod
@@ -407,18 +476,30 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
         return OverlapResult(np.zeros(0, np.int32), np.zeros(0, np.int32), L)
     if n == 1:
         return OverlapResult(np.full(1, -1, np.int32), np.zeros(1, np.int32), L)
+    D = _mesh_size(mesh)
+    if D == 1:
+        mesh = None
 
     # bucket N to limit distinct compiled shapes; padding rows are inert
-    # (zero reads marked inactive in both tables from the start)
-    n_pad = _bucket_size(n)
+    # (zero reads marked inactive in both tables from the start).
+    # D is a power of two <= every bucket size, so shards divide evenly.
+    n_pad = max(_bucket_size(n), D)
     lanes_np, nmask_np = packed_mod.pack_lanes(codes, n_pad)
     has_n = nmask_np is not None
 
     init_fn = _cached("init", _build_init_fn, n_pad, L, has_n)
     lanes_d = jnp.asarray(lanes_np)
-    nmask_d = jnp.asarray(nmask_np) if has_n else jnp.zeros((1, 1), dtype=jnp.uint32)
+    nmask_d = jnp.asarray(nmask_np) if has_n else jnp.zeros((n_pad, 1), dtype=jnp.uint32)
     h0, a_s, a_p, succ_g, ovl_g = init_fn(lanes_d, nmask_d, jnp.int32(n))
+    if mesh is not None:
+        # init ran as a single-device program; hand the arrays back to host
+        # so the sharded segment program is free to lay them out per-shard
+        h0, a_s, a_p, succ_g, ovl_g = jax.device_get(
+            (h0, a_s, a_p, succ_g, ovl_g))
     ids = jnp.arange(n_pad, dtype=jnp.int32)
+    # the full (never compacted) lane tables back the by-global-id prefix
+    # gathers; the working tables below shrink with compaction
+    lanes_full, nmask_full = lanes_d, nmask_d
     h, p = h0, h0
     n_loc = n_pad
     iters = int(L * coef)
@@ -430,10 +511,13 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
         seg = _SEG_PLAN[seg_idx] if seg_idx < len(_SEG_PLAN) else _SEG_TAIL
         seg_idx += 1
         i1 = min(i + seg, iters)
-        seg_fn = _cached("seg", _build_seg_fn, n_loc, L, has_n)
+        # under shard_map the round program sees per-device blocks
+        seg_fn = _cached("seg", _build_seg_fn,
+                         n_loc if mesh is None else n_pad // D,
+                         L, has_n, n_pad, mesh if mesh is not None else None)
         h, p, a_s, a_p, succ_g, ovl_g, n_act, n_suf, n_pref = seg_fn(
-            lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_g, ovl_g,
-            jnp.int32(i), jnp.int32(i1),
+            lanes_d, nmask_d, lanes_full, nmask_full, ids, h, p, a_s, a_p,
+            succ_g, ovl_g, jnp.int32(i), jnp.int32(i1),
         )
         i = i1
         if i >= iters:
@@ -447,7 +531,10 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0) -> OverlapResult:
             if csuf == 0 or cpref == 0:
                 break  # nothing left to match — remaining rounds are no-ops
             n_new = max(_bucket_size(cnt), _COMPACT_FLOOR)
-            if n_new < n_loc:
+            if n_new < n_loc and mesh is None:
+                # compaction changes only row placement, never link choices
+                # (all decisions are in global-id space); the sharded path
+                # keeps fixed-size shards instead
                 compact_fn = _cached("compact", _build_compact_fn, n_loc, n_new, L, has_n)
                 lanes_d, nmask_d, ids, h, p, a_s, a_p = compact_fn(
                     lanes_d, nmask_d, ids, h, p, a_s, a_p
@@ -592,7 +679,7 @@ def assemble_pg(codes: np.ndarray, layout: ChainLayout) -> np.ndarray:
     return pg
 
 
-def generate_pseudogenome(codes: np.ndarray, coef: float = 1.0):
+def generate_pseudogenome(codes: np.ndarray, coef: float = 1.0, mesh=None):
     """Full pipeline: overlaps -> cycle removal -> layout -> pg sequence.
 
     Returns (pg_codes, order, pos_sorted) where order is the reads-list
@@ -603,7 +690,7 @@ def generate_pseudogenome(codes: np.ndarray, coef: float = 1.0):
     AbstractOverlapPseudoGenomeGenerator.cpp:181-219); the numpy
     pointer-doubling path below is the semantic reference and fallback.
     """
-    res = find_overlaps(codes, coef)
+    res = find_overlaps(codes, coef, mesh=mesh)
     if res.succ.size:
         from .. import native
 
