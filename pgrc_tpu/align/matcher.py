@@ -315,7 +315,7 @@ def match_reads(
 
     lanes_f, _ = packed.pack_lanes(read_codes)
     fm, fp = _probe_batch(lanes_f, offs_p1, cap_p1, index, dev, max_mismatches,
-                          L, batch_rows=131072)
+                          L, batch_rows=131072, mesh=mesh)
     rm = np.full(n, 255, dtype=np.uint8)
     rp = np.full(n, -1, dtype=np.int64)
 
@@ -324,7 +324,7 @@ def match_reads(
     rows = np.nonzero(todo)[0]
     if rows.size:
         mis_t, pos_t = _probe_batch(lanes_f[rows], offs_full, cap, index, dev,
-                                    max_mismatches, L, batch_rows=32768)
+                                    max_mismatches, L, batch_rows=32768, mesh=mesh)
         better_f = mis_t < fm[rows]
         fm[rows] = np.where(better_f, mis_t, fm[rows])
         fp[rows] = np.where(better_f, pos_t, fp[rows])
@@ -338,7 +338,7 @@ def match_reads(
         rc_codes[rc_codes > 3] = 0  # N probes as A on the RC strand too
         rc_lanes, _ = packed.pack_lanes(rc_codes)
         mis_t, pos_t = _probe_batch(rc_lanes, offs_full, cap, index, dev,
-                                    max_mismatches, L, batch_rows=32768)
+                                    max_mismatches, L, batch_rows=32768, mesh=mesh)
         rm[rows] = mis_t
         rp[rows] = pos_t
 

@@ -69,7 +69,15 @@ def _load_ckpt(params: PgRCParams, stage: int) -> dict:
         return {k: z[k] for k in z.files}
 
 
-def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
+def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> EncodeStats:
+    """Run the 7-stage encoder chain.
+
+    With `mesh` (a 1-D jax Mesh over axis "data") the device stages run
+    sharded: overlap rounds (stages 2/3/5) merge their per-round hash tables
+    with pmin/psum collectives and the stage-4 matcher shards reads over
+    devices with a replicated pg index — the archive is byte-identical to
+    the 1-device run (the TPU mapping of the reference's entire OpenMP
+    parallelism surface, SURVEY §2.8)."""
     import time
 
     t = {}
@@ -129,7 +137,8 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
     t0 = time.time()
     if B <= 2:
         if params.gen_quality_coef > 0 and hq_idx.size > 1:
-            res = greedy_scs.find_overlaps(codes[hq_idx], coef=params.gen_quality_coef)
+            res = greedy_scs.find_overlaps(codes[hq_idx], coef=params.gen_quality_coef,
+                                           mesh=mesh)
             keep = greedy_scs.both_sides_overlapped(res)
             lq_idx = np.concatenate([lq_idx, hq_idx[~keep]])
             lq_idx.sort()
@@ -142,7 +151,7 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
     # ---- stage 3: HQ pg generation ----
     t0 = time.time()
     if B <= 3:
-        hq_pg, hq_order, hq_pos = greedy_scs.generate_pseudogenome(codes[hq_idx])
+        hq_pg, hq_order, hq_pos = greedy_scs.generate_pseudogenome(codes[hq_idx], mesh=mesh)
         hq_org = hq_idx[hq_order] if hq_idx.size else np.zeros(0, dtype=np.int64)
     else:
         hq_pg = ck["hq_pg"]
@@ -170,7 +179,7 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
                       ck["n_pg"], ck["n_org"], ck["n_pos"])
         return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
                             ck.get("lq_un", empty), ck.get("n_un", empty),
-                            out_path, stage5)
+                            out_path, stage5, mesh=mesh)
     cand_idx = np.concatenate([lq_idx, n_idx]) if params.separate_n_reads else lq_idx
     n_begin = lq_idx.size
     if cand_idx.size and hq_pg.size >= L:
@@ -186,6 +195,7 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
             cand_codes, index, hq_pg,
             max_mismatches=max_mis,
             cap=params.match_cap,
+            mesh=mesh,
         )
         if has_n.any():
             rows = np.nonzero(has_n & (mres.pos >= 0))[0]
@@ -275,11 +285,11 @@ def encode(params: PgRCParams, out_path: str | None = None) -> EncodeStats:
                    hq_pg=hq_pg)
         return stats
     return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
-                        lq_un, n_un, out_path)
+                        lq_un, n_un, out_path, mesh=mesh)
 
 
 def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
-                 out_path, stage5=None):
+                 out_path, stage5=None, mesh=None):
     """Stage 5 (LQ/N pgs) + archive write (stages 6-7)."""
     import time
 
@@ -291,9 +301,9 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
     if stage5 is not None:
         lq_pg, lq_org, lq_pos, n_pg, n_org, n_pos = stage5
     else:
-        lq_pg, lq_order, lq_pos = greedy_scs.generate_pseudogenome(codes[lq_un])
+        lq_pg, lq_order, lq_pos = greedy_scs.generate_pseudogenome(codes[lq_un], mesh=mesh)
         lq_org = lq_un[lq_order] if lq_un.size else np.zeros(0, dtype=np.int64)
-        n_pg, n_order, n_pos = greedy_scs.generate_pseudogenome(codes[n_un])
+        n_pg, n_order, n_pos = greedy_scs.generate_pseudogenome(codes[n_un], mesh=mesh)
         n_org = n_un[n_order] if n_un.size else np.zeros(0, dtype=np.int64)
     stats.lq_count, stats.n_count = lq_org.size, n_org.size
     stats.hq_pg_len, stats.lq_pg_len, stats.n_pg_len = len(hq_pg), len(lq_pg), len(n_pg)
