@@ -10,12 +10,15 @@ sequential merge sweep:
   * reads live on device as packed 2-bit u32 lanes (+ a 1-bit N mask when
     the set contains N), so uploads, sorts, and verifies move 4-25x fewer
     bytes than a uint8 read matrix;
-  * per-read rolling polynomial hashes of the round's suffix and prefix are
-    updated from ONE packed column per round (no string re-sorting);
-  * active suffixes and prefixes are sorted by a u32 (hash31|side) key with
-    an i32 position payload (stable sort — all round state is 32-bit, which
-    avoids the TPU's emulated 64-bit integer path) and paired rank-for-rank
-    inside equal-hash groups, self-pairs fixed by swapping ranks;
+  * per-read rolling 64-bit polynomial hashes of the round's suffix and
+    prefix are updated from ONE packed column per round;
+  * each round is ONE kv-sort of the 2n (hash, side|gid) keys plus
+    rank-for-rank pairing of suffixes with prefixes inside equal-hash
+    groups via cumulative scans — measured on TPU v5e, a 524k-key sort
+    costs ~1 ms while a single 262k-element gather or scatter costs
+    2-4 ms, so the sort+scan formulation beats any hash-table design
+    that needs multiple scatter/gather passes per round. All scatters
+    stay 32-bit (the emulated 64-bit scatter path is ~6x slower);
   * candidate pairs are verified exactly with cross-lane shift compares on
     the packed lanes, so a hash collision can only cost a missed match,
     never a wrong link.
@@ -42,6 +45,12 @@ def _modinv_u32(b: int) -> int:
 
 
 HASH_BASE_INV = np.uint32(_modinv_u32(int(HASH_BASE)))
+
+# 64-bit rolling-hash base for the overlap rounds: pairing is by full 64-bit
+# hash equality (then verified exactly), so equal-hash groups are ~always
+# exactly the equal-string groups
+HASH_BASE64 = np.uint64(0x9E3779B97F4A7C15)
+HASH_BASE64_INV = np.uint64(pow(int(HASH_BASE64), -1, 1 << 64))
 
 
 @dataclass
@@ -118,6 +127,16 @@ def _pow_table(L: int) -> np.ndarray:
     return pows
 
 
+def _pow_table64(L: int) -> np.ndarray:
+    pows = np.ones(L + 1, dtype=np.uint64)
+    b = int(HASH_BASE64)
+    v = 1
+    for k in range(1, L + 1):
+        v = (v * b) & 0xFFFFFFFFFFFFFFFF
+        pows[k] = np.uint64(v)
+    return pows
+
+
 def _lane_dims(L: int) -> tuple[int, int]:
     """(W, Wn): 2-bit lane count and N-bitmask lane count for read length L."""
     return (L + 15) // 16, (L + 31) // 32
@@ -177,149 +196,190 @@ def _suffix_eq_prefix(jax, jnp, lanes, nmask, lanes_full, nmask_full, pr_id,
     return eq
 
 
-_INVALID_KEY = np.uint32(0xFFFFFFFF)
-
 
 def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     """A segment of overlap rounds [i0, i1) at local table size `n` as one
-    device program. Per-row state (h, p, active flags, orig ids) is local to
-    the compacted table; links are scattered straight into the global
-    succ/ovl arrays (original read-id space), so the host can shrink the
-    local table between segments without remapping anything.
+    device program. Per-row state (hashes, active flags, pending links,
+    orig ids) is local to the compacted table; links flush to the global
+    succ/ovl arrays (original read-id space) once per segment, so the host
+    can shrink the local table between segments without remapping anything.
 
-    Each round pairs suffixes with prefixes through a hash TABLE instead of
-    a sort (the earlier design sorted 2n (hash|side) keys per round, ~60 ns
-    per row per round; scatter/gather rounds are ~5x cheaper): active
-    prefixes scatter-min their GLOBAL read id into an 8*n_glob-slot table at
-    FOUR probe slots (independent Fibonacci mixes of the rolling hash) and
-    the winning prefix writes its full 32-bit hash into a companion table;
-    suffixes gather all four candidates and take the first whose full hash
-    agrees, verify exactly on the packed lanes, and claim prefixes by
-    scatter-min over global ids (deterministic: lowest suffix id wins). A
-    pair is lost only when all four of its partner's slots are stolen by
-    lower-id prefixes — measured ~3e-5 at 70% load — and verification
-    guarantees a hash collision can never produce a wrong link.
+    Each round is ONE kv-sort: active prefixes and suffixes become 2n
+    entries keyed by (64-bit rolling hash, side|global-id); inside each
+    equal-hash group prefixes sort before suffixes (both by global id) and
+    the k-th suffix pairs with the k-th prefix — the segmented ranks come
+    from cumulative min/max scans over the sorted keys, all elementwise.
+    Pairs are verified exactly on the packed lanes (a 64-bit collision can
+    only cost a missed match, never a wrong link), and all per-round
+    scatters are 32-bit (one u32 scatter carries both the candidate id and
+    the claimed bit; the TPU's emulated 64-bit scatter path is ~6x slower).
+    Measured on TPU v5e at n=262k: sort+scans ~1.7 ms, total round ~14 ms —
+    vs ~61 ms for a scatter-table round (gathers/scatters cost 2-4 ms each,
+    sorts ~1 ms, so the design minimises scatter/gather count).
 
-    Every tie-break is on GLOBAL read ids and every table is keyed by hash,
-    so the result is independent of row partitioning: with `mesh` set, the
-    same program runs under shard_map with rows sharded over the "data"
-    axis, the id/hash tables merged with pmin/psum each round, and links
-    merged with pmax at segment end — byte-identical to the 1-device run
-    (the OMP-loops-to-collectives mapping of SURVEY §2.8).
+    A read whose suffix equals its own prefix is never linked to itself;
+    its prefix is still consumed that round (a conservative, deterministic
+    over-claim that can only lose a rare match). Every tie-break is on
+    GLOBAL read ids, so the result is independent of row partitioning:
+    with `mesh` set, each device builds entries for its row shard,
+    all-gathers the keys, and runs the same global sort+pairing — links
+    apply only to local rows and merge with pmax at segment end —
+    byte-identical to the 1-device run (the OMP-loops-to-collectives
+    mapping of SURVEY §2.8).
 
-    All round state is 32-bit (u32 hashes, i32 ids); reads are packed
-    2-bit lanes (+1-bit N mask)."""
+    Reference: GreedySwipingPackedOverlapPseudoGenomeGenerator.cpp:171-249
+    (per-overlap-length merge sweeps) and its Parallel twin :255-292."""
     jax, jnp = _jax()
 
     # closure constants MUST stay numpy: a closed-over jax device array is
     # fetched device->host at lowering time to embed as an MLIR constant,
     # which costs ~80 s per array over a tunneled TPU
-    pows = _pow_table(L)
-    inv = np.uint32(HASH_BASE_INV)
-    # table size is tied to the GLOBAL padded read count (not the compacted
-    # local size) so the slot mapping — and therefore every link decision —
-    # is identical across compaction schedules and device counts
-    tb = 8 * n_glob                 # hash-table slots (power of two)
-    shift = np.uint32(32 - (tb.bit_length() - 1))
-    BIG = np.int32(n_glob)          # "no id" sentinel (> any real id)
-    # odd Fibonacci-style multipliers, one per probe slot
-    MIXES = (np.uint32(0x9E3779B1), np.uint32(0x85EBCA77),
-             np.uint32(0xC2B2AE3D), np.uint32(0x27D4EB2F))
+    pows64 = _pow_table64(L)
+    inv64 = np.uint64(HASH_BASE64_INV)
     axis = "data" if mesh is not None else None
-
-    def _allmin(x):
-        return jax.lax.pmin(x, axis) if axis else x
+    D = _mesh_size(mesh)
+    m = 2 * n * D                   # total sorted entries
+    BIGI = np.int32(m + 2)
+    INV64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    INV32 = np.uint32(0xFFFFFFFF)
+    if n_glob >= (1 << 30):
+        raise NotImplementedError(
+            "overlap rounds index reads with 31-bit packed ids"
+        )
 
     def _allsum(x):
         return jax.lax.psum(x, axis) if axis else x
 
-    def round_fn(i, lanes, nmask, lanes_full, nmask_full, ids, h, p,
-                 active_s, active_p, succ_g, ovl_g):
+    def round_fn(i, lanes, nmask, lanes_full, nmask_full, ids, rows, h, p,
+                 active_s, active_p, succ_l, ovl_l):
         # --- rolling hash updates (suffix drops column i-1, prefix drops
         #     column L-i) — these run every round even if matching is
         #     skipped, the recurrences are cumulative ---
-        vi = _col_vals(jax, jnp, lanes, nmask, i - 1, has_n)
-        h = h - vi * jnp.asarray(pows)[L - i]
-        vm = _col_vals(jax, jnp, lanes, nmask, L - i, has_n)
-        p = (p - vm) * inv
+        vi = _col_vals(jax, jnp, lanes, nmask, i - 1, has_n).astype(jnp.uint64)
+        h = h - vi * jnp.asarray(pows64)[L - i]
+        vm = _col_vals(jax, jnp, lanes, nmask, L - i, has_n).astype(jnp.uint64)
+        p = (p - vm) * inv64
 
         def do_match(args):
-            h, p, active_s, active_p, succ_g, ovl_g = args
-            # --- prefix id table: four probe slots per prefix (independent
-            # mixes of the same hash), scatter-min of the global read id ---
-            slots_p = []
-            table = jnp.full((tb,), BIG, dtype=jnp.int32)
-            for mix in MIXES:
-                slot_pj = ((p * mix) >> shift).astype(jnp.int32)
-                slots_p.append(slot_pj)
-                table = table.at[jnp.where(active_p, slot_pj, tb)].min(
-                    ids, mode="drop"
-                )
-            table = _allmin(table)
-            # --- companion hash table: the slot winner writes its full
-            # 32-bit hash (unique writer per slot -> psum merges exactly) ---
-            ptable = jnp.zeros((tb,), dtype=jnp.uint32)
-            for slot_pj in slots_p:
-                win = active_p & (jnp.take(table, slot_pj) == ids)
-                ptable = ptable.at[jnp.where(win, slot_pj, tb)].set(
-                    p, mode="drop"
-                )
-            ptable = _allsum(ptable)
-            # --- probe: first candidate whose full 32-bit hash agrees wins
-            # (fixed mix order keeps the choice deterministic) ---
-            cand = jnp.full((n,), BIG, dtype=jnp.int32)
-            for mix in MIXES:
-                slot_sj = ((h * mix) >> shift).astype(jnp.int32)
-                cj = jnp.take(table, slot_sj)
-                pj = jnp.take(ptable, slot_sj)
-                okj = (cj < BIG) & (cj != ids) & (pj == h)
-                cand = jnp.where((cand == BIG) & okj, cj, cand)
-            has_cand = active_s & (cand < BIG)
+            h, p, active_s, active_p, succ_l, ovl_l = args
+            gid_u = ids.astype(jnp.uint32)
+            # --- 2n entries: prefixes first inside an equal-hash group,
+            # each side ordered by global id (deterministic ranks) ---
+            k1 = jnp.concatenate([jnp.where(active_p, p, INV64),
+                                  jnp.where(active_s, h, INV64)])
+            k2 = jnp.concatenate([
+                jnp.where(active_p, gid_u, INV32),
+                jnp.where(active_s, gid_u | jnp.uint32(0x80000000), INV32),
+            ])
+            pay = jnp.concatenate([rows, rows])  # local row of each entry
+            if axis:
+                k1 = jax.lax.all_gather(k1, axis, tiled=True)
+                k2 = jax.lax.all_gather(k2, axis, tiled=True)
+                pay = jax.lax.all_gather(pay, axis, tiled=True)
+            k1s, k2s, prs = jax.lax.sort((k1, k2, pay), num_keys=2,
+                                         is_stable=False)
+
+            idx = jnp.arange(m, dtype=jnp.int32)
+            valid = k2s != INV32
+            side_suf = (k2s & jnp.uint32(0x80000000)) != 0
+            gid_s = (k2s & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            same_prev = jnp.concatenate(
+                [jnp.zeros(1, jnp.bool_), k1s[1:] == k1s[:-1]])
+            boundary = valid & ~same_prev
+            is_suf = valid & side_suf
+            is_pref = valid & ~side_suf
+            # segmented ranks via scans: seg_start = my group's first entry,
+            # fs = my group's first suffix (backward-looking for suffixes,
+            # forward-looking for prefixes), seg_end = next group boundary
+            seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
+            prev_is_suf = jnp.concatenate(
+                [jnp.zeros(1, jnp.bool_), is_suf[:-1]])
+            first_suf = is_suf & (~prev_is_suf | boundary)
+            fs_bwd = jax.lax.cummax(jnp.where(first_suf, idx, -1))
+            nb = jax.lax.cummin(jnp.where(boundary, idx, BIGI), reverse=True)
+            seg_end = jnp.minimum(
+                jnp.concatenate([nb[1:], jnp.full(1, BIGI, jnp.int32)]),
+                jnp.int32(m))
+            fs_fwd = jax.lax.cummin(jnp.where(first_suf, idx, BIGI),
+                                    reverse=True)
+            # suffix at in-group suffix-rank r pairs the prefix at rank r
+            r = idx - fs_bwd
+            n_pref_seg = fs_bwd - seg_start
+            partner_pos = seg_start + r
+            paired = is_suf & (fs_bwd >= 0) & (r < n_pref_seg)
+            pk2 = jnp.take(k2s, jnp.clip(partner_pos, 0, m - 1))
+            partner_gid = (pk2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            suf_ok = paired & (partner_gid != gid_s)
+            # prefix side: claimed iff rank < number of suffixes in group
+            n_suf_seg = seg_end - jnp.minimum(fs_fwd, seg_end)
+            claimed = is_pref & ((idx - seg_start) < n_suf_seg)
+
+            # --- one u32 scatter back to row space: candidate id in bits
+            # 0..30 (as gid+1), claimed flag in bit 31 (each row receives at
+            # most one suffix and one prefix contribution — disjoint bits)
+            contributes = suf_ok | claimed
+            val = (jnp.where(suf_ok, partner_gid.astype(jnp.uint32)
+                             + jnp.uint32(1), jnp.uint32(0))
+                   | jnp.where(claimed, jnp.uint32(0x80000000), jnp.uint32(0)))
+            if axis:
+                # only entries of MY rows scatter locally (payload carries
+                # the global id in mesh mode; rows are block-sharded)
+                my_lo = jax.lax.axis_index(axis) * n
+                mine = (prs >= my_lo) & (prs < my_lo + n)
+                target = jnp.where(contributes & mine, prs - my_lo, n)
+            else:
+                target = jnp.where(contributes, prs, n)
+            rowv = jnp.zeros((n,), jnp.uint32).at[target].add(val, mode="drop")
+
+            cand = (rowv & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) - 1
+            claimed_row = (rowv & jnp.uint32(0x80000000)) != 0
+            has_cand = cand >= 0
             pr_id = jnp.clip(cand, 0, n_glob - 1)
-            # --- exact verification on packed lanes (a slot holding an
-            # unequal-hash prefix is caught here) ---
+            # --- exact verification on packed lanes ---
             eq = _suffix_eq_prefix(jax, jnp, lanes, nmask, lanes_full,
                                    nmask_full, pr_id, i, L, has_n)
-            matched_c = has_cand & eq
-            # --- claim: one suffix per prefix (min suffix id wins) ---
-            claim = jnp.full((n_glob,), BIG, dtype=jnp.int32).at[
-                jnp.where(matched_c, pr_id, n_glob)
-            ].min(ids, mode="drop")
-            claim = _allmin(claim)
-            matched = matched_c & (jnp.take(claim, pr_id) == ids)
+            matched = has_cand & eq
 
-            # --- apply links in global (original read-id) space ---
+            # --- pending links: elementwise row-state merge (no scatter);
+            # flushed to the global arrays once per segment ---
             ovl_new = jnp.int32(L) - i.astype(jnp.int32)
-            succ_g = succ_g.at[jnp.where(matched, ids, n_glob)].set(cand, mode="drop")
-            ovl_g = ovl_g.at[jnp.where(matched, ids, n_glob)].set(ovl_new, mode="drop")
+            succ_l = jnp.where(matched, cand, succ_l)
+            ovl_l = jnp.where(matched, ovl_new, ovl_l)
             active_s = active_s & ~matched
-            active_p = active_p & (jnp.take(claim, jnp.clip(ids, 0, n_glob - 1)) == BIG)
-            return h, p, active_s, active_p, succ_g, ovl_g
+            active_p = active_p & ~claimed_row
+            return h, p, active_s, active_p, succ_l, ovl_l
 
         some_work = _allsum(active_s.any().astype(jnp.int32)) > 0
         some_work = some_work & (_allsum(active_p.any().astype(jnp.int32)) > 0)
         return jax.lax.cond(
             some_work, do_match, lambda a: (h, p) + a[2:],
-            (h, p, active_s, active_p, succ_g, ovl_g),
+            (h, p, active_s, active_p, succ_l, ovl_l),
         )
 
     def seg_fn(lanes, nmask, lanes_full, nmask_full, ids, h, p,
-               active_s, active_p, succ_g, ovl_g, i0, i1):
+               active_s, active_p, succ_l, ovl_l, succ_g, ovl_g, i0, i1):
         if axis:
-            # the link arrays enter replicated but are scattered into from
-            # device-varying values inside the rounds; mark them varying up
-            # front so both lax.cond branches agree on the VMA type
+            # entry payload identifying a row across devices: the global id
+            # doubles as the global row (no compaction under mesh)
+            rows = ids
             succ_g = jax.lax.pvary(succ_g, axis)
             ovl_g = jax.lax.pvary(ovl_g, axis)
+        else:
+            rows = jnp.arange(n, dtype=jnp.int32)
 
         def body(i, carry):
-            h, p, a_s, a_p, sg, og = carry
-            return round_fn(jnp.int32(i), lanes, nmask, lanes_full, nmask_full,
-                            ids, h, p, a_s, a_p, sg, og)
+            h, p, a_s, a_p, sl, ol = carry
+            return round_fn(jnp.int32(i), lanes, nmask, lanes_full,
+                            nmask_full, ids, rows, h, p, a_s, a_p, sl, ol)
 
-        carry = (h, p, active_s, active_p, succ_g, ovl_g)
+        carry = (h, p, active_s, active_p, succ_l, ovl_l)
         carry = jax.lax.fori_loop(i0, i1, body, carry)
-        h, p, a_s, a_p, sg, og = carry
+        h, p, a_s, a_p, sl, ol = carry
+        # flush pending links to global id space (two i32 scatters/segment)
+        flush = sl >= 0
+        tgt = jnp.where(flush, ids, n_glob)
+        sg = succ_g.at[tgt].set(sl, mode="drop")
+        og = ovl_g.at[tgt].set(ol, mode="drop")
         if axis:
             # each global id's link is written on exactly one device (rows
             # are disjoint and a row links at most once): max-merge replicas
@@ -328,7 +388,7 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
         n_active = _allsum((a_s | a_p).sum(dtype=jnp.int32))
         n_suf = _allsum(a_s.sum(dtype=jnp.int32))
         n_pref = _allsum(a_p.sum(dtype=jnp.int32))
-        return h, p, a_s, a_p, sg, og, n_active, n_suf, n_pref
+        return h, p, a_s, a_p, sl, ol, sg, og, n_active, n_suf, n_pref
 
     if mesh is None:
         return jax.jit(seg_fn)
@@ -340,8 +400,8 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     smapped = shard_map(
         seg_fn,
         mesh=mesh,
-        in_specs=(S, S, R, R, S, S, S, S, S, R, R, R, R),
-        out_specs=(S, S, S, S, R, R, R, R, R),
+        in_specs=(S, S, R, R, S, S, S, S, S, S, S, R, R, R, R),
+        out_specs=(S, S, S, S, S, S, R, R, R, R, R),
     )
     return jax.jit(smapped)
 
@@ -351,8 +411,9 @@ def _build_init_fn(n: int, L: int, has_n: bool):
     (GreedySwipingPacked...cpp:97-136's equal-neighbor dedup) at full size.
     Emits links directly in global id space (ids are the identity here)."""
     jax, jnp = _jax()
-    pows = _pow_table(L)
+    pows = _pow_table64(L)
     W, Wn = _lane_dims(L)
+    INVALID64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def init_fn(lanes, nmask, nreal):
         # unpack symbol values once (one-time [n, L] intermediate) for h0
@@ -366,16 +427,18 @@ def _build_init_fn(n: int, L: int, has_n: bool):
                 n, Wn * 32
             )[:, :L]
             c = c + (nb << jnp.uint32(2))
-        # h0[r] = sum_j v[r,j] * B^(L-1-j); uint32 accumulate == mod-2^32
-        h0 = (c * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
-            axis=1, dtype=jnp.uint32
+        # h0[r] = sum_j v[r,j] * B^(L-1-j); uint64 accumulate == mod-2^64
+        h0 = (c.astype(jnp.uint64)
+              * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
+            axis=1, dtype=jnp.uint64
         )
         idx = jnp.arange(n, dtype=jnp.int32)
         real = idx < nreal
-        ks = jnp.where(real, jnp.minimum(h0, _INVALID_KEY - 1), _INVALID_KEY)
+        ks = jnp.where(real, jnp.minimum(h0, INVALID64 - np.uint64(1)),
+                       INVALID64)
         ks_sorted, sidx = jax.lax.sort((ks, idx), num_keys=1, is_stable=True)
         nxt_key_same = jnp.concatenate(
-            [(ks_sorted[1:] == ks_sorted[:-1]) & (ks_sorted[1:] != _INVALID_KEY),
+            [(ks_sorted[1:] == ks_sorted[:-1]) & (ks_sorted[1:] != INVALID64),
              jnp.zeros(1, dtype=jnp.bool_)]
         )
         me = sidx
@@ -410,7 +473,7 @@ def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool):
     the global succ/ovl arrays, so no information is lost."""
     jax, jnp = _jax()
 
-    def compact_fn(lanes, nmask, ids, h, p, a_s, a_p):
+    def compact_fn(lanes, nmask, ids, h, p, a_s, a_p, succ_l, ovl_l):
         pos = jnp.arange(n_old, dtype=jnp.int32)
         drop = (~(a_s | a_p)).astype(jnp.int32)
         _, perm = jax.lax.sort((drop, pos), num_keys=1, is_stable=True)
@@ -423,6 +486,8 @@ def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool):
             jnp.take(p, sel),
             jnp.take(a_s, sel),
             jnp.take(a_p, sel),
+            jnp.take(succ_l, sel),
+            jnp.take(ovl_l, sel),
         )
 
     return jax.jit(compact_fn)
@@ -501,6 +566,11 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
     # gathers; the working tables below shrink with compaction
     lanes_full, nmask_full = lanes_d, nmask_d
     h, p = h0, h0
+    # pending links in ROW space (merged elementwise each round, flushed to
+    # the global arrays at segment end — keeps the hot loop scatter-free);
+    # numpy so the first jit call places them per the mesh layout
+    succ_l = np.full((n_pad,), -1, dtype=np.int32)
+    ovl_l = np.zeros((n_pad,), dtype=np.int32)
     n_loc = n_pad
     iters = int(L * coef)
 
@@ -515,10 +585,11 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
         seg_fn = _cached("seg", _build_seg_fn,
                          n_loc if mesh is None else n_pad // D,
                          L, has_n, n_pad, mesh if mesh is not None else None)
-        h, p, a_s, a_p, succ_g, ovl_g, n_act, n_suf, n_pref = seg_fn(
-            lanes_d, nmask_d, lanes_full, nmask_full, ids, h, p, a_s, a_p,
-            succ_g, ovl_g, jnp.int32(i), jnp.int32(i1),
-        )
+        h, p, a_s, a_p, succ_l, ovl_l, succ_g, ovl_g, n_act, n_suf, n_pref = \
+            seg_fn(
+                lanes_d, nmask_d, lanes_full, nmask_full, ids, h, p, a_s, a_p,
+                succ_l, ovl_l, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1),
+            )
         i = i1
         if i >= iters:
             break
@@ -533,12 +604,13 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
             n_new = max(_bucket_size(cnt), _COMPACT_FLOOR)
             if n_new < n_loc and mesh is None:
                 # compaction changes only row placement, never link choices
-                # (all decisions are in global-id space); the sharded path
-                # keeps fixed-size shards instead
+                # (all decisions are in global-id space), and every dropped
+                # row's links were flushed at the last segment end
                 compact_fn = _cached("compact", _build_compact_fn, n_loc, n_new, L, has_n)
-                lanes_d, nmask_d, ids, h, p, a_s, a_p = compact_fn(
-                    lanes_d, nmask_d, ids, h, p, a_s, a_p
-                )
+                lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_l, ovl_l = \
+                    compact_fn(
+                        lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_l, ovl_l
+                    )
                 n_loc = n_new
         pending = (n_act, n_suf, n_pref)
 
