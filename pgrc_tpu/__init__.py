@@ -10,3 +10,5 @@ __version__ = "0.1.0"
 
 ARCHIVE_MAGIC = b"PGTC"
 ARCHIVE_VERSION = (1, 0)
+
+from .utils.errors import PgtcFormatError  # noqa: E402,F401  (public API)

@@ -30,6 +30,7 @@ from ..core import fastq, packed
 from ..pg.model import ReadsList
 from ..pg.reconstruct import reconstruct_at
 from ..streams.container import StreamReader
+from ..utils.errors import PgtcFormatError
 from ..utils.varint import read_varint
 from . import order as order_enc
 from . import pgseq
@@ -59,11 +60,14 @@ def load(path: str) -> Archive:
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:4] != ARCHIVE_MAGIC:
-        raise ValueError("not a PGTC archive")
+        raise PgtcFormatError("not a PGTC archive")
+    if len(buf) < 8:
+        raise PgtcFormatError("truncated archive header")
     pos = 4
     ver_major, ver_minor, mode, flags = buf[4], buf[5], buf[6], buf[7]
     if (ver_major, ver_minor) != (1, 1):
-        raise ValueError(f"unsupported archive version {ver_major}.{ver_minor}")
+        raise PgtcFormatError(
+            f"unsupported archive version {ver_major}.{ver_minor}")
     separate_n = bool(flags & 1)
     revcomp_pair = bool(flags & 2)
     pos = 8
@@ -97,8 +101,9 @@ def load(path: str) -> Archive:
         pos_by_org = order_enc.decode_positions_se(reader, reads_total, wide)
 
     hq_pg, lq_pg, n_pg = pgseq.read_pg_sequences(reader, hq_pg_len)
-    assert len(hq_pg) == hq_pg_len and len(lq_pg) == lq_pg_len and len(n_pg) == n_pg_len, \
-        "restored pg lengths disagree with header"
+    if (len(hq_pg) != hq_pg_len or len(lq_pg) != lq_pg_len
+            or len(n_pg) != n_pg_len):
+        raise PgtcFormatError("restored pg lengths disagree with header")
     return Archive(
         mode=mode, separate_n=separate_n, revcomp_pair=revcomp_pair,
         read_len=read_len, reads_total=reads_total,
@@ -129,7 +134,7 @@ def _read_hq_section(reader: StreamReader, count: int, has_off: bool,
     nz = np.frombuffer(next(it), dtype=np.uint8).astype(bool)
     cnt_vals = np.frombuffer(next(it), dtype=np.uint8)
     if int(nz.sum()) != cnt_vals.size:
-        raise ValueError("mismatch-count stream desync")
+        raise PgtcFormatError("mismatch-count stream desync")
     mis_cnt = np.zeros(count, dtype=np.uint8)
     mis_cnt[nz] = cnt_vals
     exc = np.frombuffer(next(it), dtype=np.uint8)
@@ -145,7 +150,8 @@ def _read_hq_section(reader: StreamReader, count: int, has_off: bool,
 
 def _read_plain_pg_section(reader: StreamReader, count: int) -> np.ndarray:
     off = np.frombuffer(reader.read_one(), dtype=np.uint8).astype(np.int64)
-    assert off.size == count
+    if off.size != count:
+        raise PgtcFormatError("reads-offset stream length disagrees with header")
     return np.cumsum(off)
 
 

@@ -21,6 +21,7 @@ from ..streams.codecs import Codec
 from ..streams.container import CompressionJob, StreamReader
 from ..streams.varlen_dna import MARK
 from ..utils import dna
+from ..utils.errors import PgtcFormatError
 from ..utils.varint import encode_varints, decode_varints, write_varint, read_varint
 
 # copMEM sampling guarantee (CopMEMMatcher.cpp:111-137): with coprime strides
@@ -223,11 +224,15 @@ def match_pgs_in_pg(hq, lq, npg, target_len: int):
     for name, offs, lens in (
         ("lq", lq_off, lq_len), ("n", n_off, n_len), ("hq", hq_off, hq_len)
     ):
+        # explicit format tag byte: b'U' = raw u32 LE array, b'V' = varints
+        # (the decoder must never sniff the encoding from the byte count)
+        if offs.size == 0 or offs.max() <= 0xFFFFFFFF:
+            off_blob = b"U" + np.ascontiguousarray(offs, dtype=np.uint32).tobytes()
+        else:
+            off_blob = b"V" + encode_varints(offs.astype(np.uint64))
         streams.append(CompressionJob(
             f"pgmatch {name} offsets",
-            np.ascontiguousarray(offs, dtype=np.uint32).tobytes()
-            if (offs.size == 0 or offs.max() <= 0xFFFFFFFF)
-            else encode_varints(offs.astype(np.uint64)),
+            off_blob,
             Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 4),
             alternatives=[Codec(codecs.ZSTD, 19)],
         ))
@@ -248,7 +253,8 @@ def _restore_one(src_getter, dest: np.ndarray, offs, lens) -> np.ndarray:
     """Expand MARK tokens: out = dest with each MARK replaced by
     revcomp(src[off : off + len])."""
     marks = np.nonzero(dest == MARK)[0]
-    assert marks.size == offs.size == lens.size, "pg match stream desync"
+    if not (marks.size == offs.size == lens.size):
+        raise PgtcFormatError("pg-match MARK/offset/length count desync")
     parts = []
     pos = 0
     for i, mk in enumerate(marks):
@@ -269,7 +275,8 @@ def restore_matched_pgs(reader: StreamReader, hq, lq, npg, orig_hq_len: int,
     restored = np.zeros(orig_hq_len, dtype=np.uint8)
     rpos = 0
     marks = np.nonzero(hq == MARK)[0]
-    assert marks.size == hq_off.size
+    if marks.size != hq_off.size:
+        raise PgtcFormatError("hq self-match MARK/offset count desync")
     pos = 0
     for i, mk in enumerate(marks):
         seg = hq[pos:mk]
@@ -296,9 +303,22 @@ def _read_match_streams(reader: StreamReader, target_len: int):
     raw_len = reader.read_one()
     # lengths are stored target-relative varints (count = number of tokens)
     lens = _decode_all_varints(raw_len) + target_len
-    offs = np.frombuffer(raw_off, dtype=np.uint32).astype(np.int64)
-    if offs.size != lens.size and len(raw_off) and lens.size:
-        offs = decode_varints(raw_off, lens.size).astype(np.int64)
+    if not raw_off:
+        raise PgtcFormatError("pg-match offsets stream is empty")
+    tag, body = raw_off[:1], raw_off[1:]
+    if tag == b"U":
+        if len(body) % 4:
+            raise PgtcFormatError("pg-match u32 offsets stream length not 4-aligned")
+        offs = np.frombuffer(body, dtype=np.uint32).astype(np.int64)
+    elif tag == b"V":
+        try:
+            offs = decode_varints(body, lens.size).astype(np.int64)
+        except (IndexError, ValueError) as e:
+            raise PgtcFormatError("pg-match varint offsets truncated") from e
+    else:
+        raise PgtcFormatError(f"unknown pg-match offsets tag {tag!r}")
+    if offs.size != lens.size:
+        raise PgtcFormatError("pg-match offset/length stream desync")
     return offs, lens
 
 

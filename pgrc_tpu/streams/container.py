@@ -14,6 +14,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
+from ..utils.errors import PgtcFormatError
 from ..utils.varint import read_varint, write_varint
 from . import codecs
 from .codecs import Codec
@@ -97,13 +98,35 @@ def write_stream(out, job: CompressionJob) -> int:
 
 
 def _read_record(buf: memoryview, pos: int) -> tuple[Codec, int, bytes, int]:
-    coder_id = buf[pos]
-    p1 = buf[pos + 1]
-    p2 = buf[pos + 2]
-    raw_len, pos = read_varint(buf, pos + 3)
-    comp_len, pos = read_varint(buf, pos)
+    try:
+        coder_id = buf[pos]
+        p1 = buf[pos + 1]
+        p2 = buf[pos + 2]
+        raw_len, pos = read_varint(buf, pos + 3)
+        comp_len, pos = read_varint(buf, pos)
+    except (IndexError, ValueError) as e:
+        raise PgtcFormatError(f"truncated stream record at offset {pos}") from e
+    if pos + comp_len > len(buf):
+        raise PgtcFormatError(
+            f"stream record at offset {pos} claims {comp_len} payload bytes "
+            f"but only {len(buf) - pos} remain"
+        )
     payload = bytes(buf[pos : pos + comp_len])
     return Codec(coder_id, p1, p2), raw_len, payload, pos + comp_len
+
+
+def _decompress_record(codec: Codec, payload: bytes, raw_len: int) -> bytes:
+    try:
+        out = codec.decompress(payload, raw_len)
+    except PgtcFormatError:
+        raise
+    except Exception as e:  # lzma/zstd corruption errors, unknown coder ids
+        raise PgtcFormatError(f"stream payload does not decode: {e}") from e
+    if len(out) != raw_len:
+        raise PgtcFormatError(
+            f"stream decoded to {len(out)} bytes, header says {raw_len}"
+        )
+    return out
 
 
 class StreamReader:
@@ -115,7 +138,7 @@ class StreamReader:
 
     def read_one(self) -> bytes:
         codec, raw_len, payload, self.pos = _read_record(self.buf, self.pos)
-        return codec.decompress(payload, raw_len)
+        return _decompress_record(codec, payload, raw_len)
 
     def read_many(self, count: int) -> list[bytes]:
         items = []
@@ -123,4 +146,5 @@ class StreamReader:
             codec, raw_len, payload, self.pos = _read_record(self.buf, self.pos)
             items.append((codec, raw_len, payload))
         with ThreadPoolExecutor(max_workers=min(_MAX_WORKERS, max(count, 1))) as ex:
-            return list(ex.map(lambda t: t[0].decompress(t[2], t[1]), items))
+            return list(ex.map(lambda t: _decompress_record(t[0], t[2], t[1]),
+                               items))
