@@ -170,64 +170,133 @@ def _decode_all_reads(ar: Archive) -> np.ndarray:
 
 
 def decode_to_matrices(ar: Archive) -> list[np.ndarray]:
-    """Decode to output read matrices: [m] for SE modes, [m1, m2] for PE."""
+    """Decode to output read matrices: [m] for SE modes, [m1, m2] for PE.
+
+    Convenience wrapper over the streaming chunk decoder (one code path for
+    both whole-matrix and chunked output)."""
+    n_files = 2 if ar.mode in (MODE_PE, MODE_MIN_PE, MODE_ORD_PE) else 1
+    parts: list[list[np.ndarray]] = [[] for _ in range(n_files)]
+    for fi, mat in iter_decoded_chunks(ar):
+        parts[fi].append(mat)
+    return [
+        np.concatenate(p) if p else np.zeros((0, ar.read_len), dtype=np.uint8)
+        for p in parts
+    ]
+
+
+# rows per decode chunk: one chunk's [C, L] matrix + formatted bytes stay
+# ~200 MB at L=100, and the decode of chunk k+1 overlaps the write of k
+# (reference decode threads -> bounded queue -> writer, pgrc-decoder.cpp:
+# 100-134, chunk consts pgrc-decoder.h:34-41)
+_DECODE_CHUNK = 1 << 20
+
+
+def _decode_rows(ar: Archive, joined_rows: np.ndarray,
+                 joined_pg: np.ndarray) -> np.ndarray:
+    """Reconstruct the given joined-list rows (hq entries, then lq, then n
+    raw reads) against the concatenated pg sequence."""
     L = ar.read_len
+    out = np.empty((joined_rows.size, L), dtype=np.uint8)
+    hq_len = len(ar.hq_pg)
+    is_hq = joined_rows < ar.hq_count
+    if is_hq.any():
+        sel = joined_rows[is_hq]
+        rl = ar.hq_reads.take_rows(sel)
+        out[is_hq] = reconstruct_at(ar.hq_pg, rl.pos, L, rl)
+    raw = ~is_hq
+    if raw.any():
+        r = joined_rows[raw]
+        is_lq = r < ar.hq_count + ar.lq_count
+        pos = np.empty(r.size, dtype=np.int64)
+        if is_lq.any():
+            pos[is_lq] = ar.lq_pos[r[is_lq] - ar.hq_count] + hq_len
+        is_n = ~is_lq
+        if is_n.any():
+            pos[is_n] = (ar.n_pos[r[is_n] - ar.hq_count - ar.lq_count]
+                         + hq_len + len(ar.lq_pg))
+        out[raw] = reconstruct_at(joined_pg, pos, L)
+    return out
+
+
+def iter_decoded_chunks(ar: Archive, chunk: int = _DECODE_CHUNK):
+    """Yield (file_idx, codes[C, L]) chunks in output order — the streaming
+    decode path; decode_to_matrices remains the whole-matrix convenience."""
+    L = ar.read_len
+    joined_pg = np.concatenate([ar.hq_pg, ar.lq_pg, ar.n_pg])
     if ar.mode == MODE_SE:
-        return [_decode_all_reads(ar)]
-
+        total = ar.hq_count + ar.lq_count + ar.n_count
+        for lo in range(0, total, chunk):
+            rows = np.arange(lo, min(lo + chunk, total), dtype=np.int64)
+            yield 0, _decode_rows(ar, rows, joined_pg)
+        return
     if ar.mode in (MODE_PE, MODE_MIN_PE):
-        allr = _decode_all_reads(ar)
         order = ar.rl_idx_order
-        out1 = allr[order[0::2]]
-        out2 = allr[order[1::2]]
-        if ar.revcomp_pair:
-            # lq/N raw reads were stored pair-revcomped; hq entries already
-            # carry output-coordinate flags
-            is_raw2 = order[1::2] >= ar.hq_count
-            out2[is_raw2] = packed.revcomp_codes_matrix(out2[is_raw2])
-        return [out1, out2]
-
-    # ORD modes
+        for fi in (0, 1):
+            sel_all = order[fi::2]
+            for lo in range(0, sel_all.size, chunk):
+                sel = sel_all[lo : lo + chunk]
+                mat = _decode_rows(ar, sel, joined_pg)
+                if ar.revcomp_pair and fi == 1:
+                    is_raw2 = sel >= ar.hq_count
+                    mat[is_raw2] = packed.revcomp_codes_matrix(mat[is_raw2])
+                yield fi, mat
+        return
+    # ORD modes: positions by original index; hq entry k = k-th hq member
     pos = ar.pos_by_org
     hq_len = len(ar.hq_pg)
-    nonn_len = hq_len + len(ar.lq_pg)
-    joined = np.concatenate([ar.hq_pg, ar.lq_pg, ar.n_pg])
-    is_hq = pos < hq_len
-    # k-th hq member (in original order) uses hq entry k (entries were
-    # written sorted by original index)
-    out = reconstruct_at(joined, pos, L)
-    if is_hq.any():
-        hq_rows = np.nonzero(is_hq)[0]
-        rl = ar.hq_reads
-        sub = ReadsList(
-            pos=pos[hq_rows], org_idx=np.zeros(0, np.int64),
-            rev_comp=rl.rev_comp, mis_cnt=rl.mis_cnt,
-            mis_sym_code=rl.mis_sym_code, mis_off=rl.mis_off,
-            mis_dec_lut=rl.mis_dec_lut,
-        )
-        out[hq_rows] = reconstruct_at(joined, pos[hq_rows], L, sub)
-    if ar.mode == MODE_ORD_SE:
-        return [out]
-    # PE_ORD: even org idx -> file1, odd -> file2
-    out1 = out[0::2]
-    out2 = out[1::2]
-    if ar.revcomp_pair:
-        is_raw2 = ~is_hq[1::2]
-        out2[is_raw2] = packed.revcomp_codes_matrix(out2[is_raw2])
-    return [out1, out2]
+    is_hq_all = pos < hq_len
+    hq_rank = np.cumsum(is_hq_all) - 1   # entry index for hq members
+    n_files = 2 if ar.mode == MODE_ORD_PE else 1
+    for fi in range(n_files):
+        org = np.arange(fi, pos.size, n_files, dtype=np.int64)
+        for lo in range(0, org.size, chunk):
+            o = org[lo : lo + chunk]
+            p = pos[o]
+            mat = reconstruct_at(joined_pg, p, L)
+            is_hq = is_hq_all[o]
+            if is_hq.any():
+                rows = np.nonzero(is_hq)[0]
+                rl = ar.hq_reads.take_rows(hq_rank[o[rows]], pos=p[rows])
+                mat[rows] = reconstruct_at(joined_pg, p[rows], L, rl)
+            if ar.revcomp_pair and fi == 1:
+                is_raw2 = ~is_hq
+                mat[is_raw2] = packed.revcomp_codes_matrix(mat[is_raw2])
+            yield fi, mat
 
 
 def decode_to_files(path: str, out_prefix: str) -> int:
     """Decode archive -> read-line file(s); returns total reads written
-    (reference writeAllReadsIn*Mode*, output name convention _out/_out_1/_out_2)."""
+    (reference writeAllReadsIn*Mode*, output name convention _out/_out_1/_out_2).
+
+    Streams in bounded chunks through a decode -> format+write pipeline: the
+    writer (byte formatting + file IO, GIL-released in the native writer)
+    runs one chunk behind the decoder, with backpressure at 2 in-flight
+    chunks — the reference's decode-threads/bounded-queue/writer-thread
+    design (pgrc-decoder.cpp:100-134) as a two-stage pipeline."""
+    from concurrent.futures import ThreadPoolExecutor
+
     ar = load(path)
-    mats = decode_to_matrices(ar)
-    if len(mats) == 1:
-        fastq.write_reads_lines(out_prefix + "_out", mats[0])
-    else:
-        fastq.write_reads_lines(out_prefix + "_out_1", mats[0])
-        fastq.write_reads_lines(out_prefix + "_out_2", mats[1])
-    return sum(m.shape[0] for m in mats)
+    pe = ar.mode in (MODE_PE, MODE_MIN_PE, MODE_ORD_PE)
+    names = ([out_prefix + "_out"] if not pe
+             else [out_prefix + "_out_1", out_prefix + "_out_2"])
+    files = [open(n, "wb") for n in names]
+    total = 0
+    try:
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            pending = []
+            for fi, mat in iter_decoded_chunks(ar):
+                total += mat.shape[0]
+                pending.append(ex.submit(
+                    lambda f, m: f.write(fastq.reads_lines_bytes(m)),
+                    files[fi], mat))
+                while len(pending) > 2:
+                    pending.pop(0).result()
+            for fut in pending:
+                fut.result()
+    finally:
+        for f in files:
+            f.close()
+    return total
 
 
 def validate(path: str, src_fastq: str, pair_fastq: str = "") -> dict:

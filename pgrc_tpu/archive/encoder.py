@@ -91,11 +91,11 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
     B, E = params.begin_stage, params.end_stage
     ck = _load_ckpt(params, B - 1) if B > 1 else {}
 
-    # ---- input ----
-    if params.pair_fastq:
-        reads = fastq.read_paired(params.src_fastq, params.pair_fastq, params.revcomp_pair_file)
-    else:
-        reads = fastq.read_any(params.src_fastq)
+    # ---- input (chunked: quality bytes never outlive one IO window) ----
+    reads = fastq.read_divided(
+        params.src_fastq, params.pair_fastq or None, params.revcomp_pair_file,
+        params.error_limit_promils / 1000.0, params.simplified_suffix_mode,
+    )
     params.read_len = reads.read_len
     L = reads.read_len
     if L > 255:
@@ -108,10 +108,8 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
     t0 = time.time()
     codes = reads.codes
     if B <= 1:
-        hq_mask = fastq.quality_high_mask(
-            reads, params.error_limit_promils / 1000.0, params.simplified_suffix_mode
-        )
-        n_mask = fastq.contains_n_mask(reads)
+        hq_mask = reads.hq_mask
+        n_mask = reads.n_mask
         if params.separate_n_reads:
             n_idx = np.nonzero(n_mask)[0]
             lq_idx = np.nonzero(~n_mask & ~hq_mask)[0]

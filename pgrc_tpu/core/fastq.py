@@ -116,6 +116,172 @@ def read_any(path: str) -> ReadsSet:
     return read_lines(path)
 
 
+# ---------------------------------------------------------------------------
+# streamed (chunked) ingest — the scale path
+# ---------------------------------------------------------------------------
+
+# default IO window; one window of FASTQ at 100 bp is ~600k reads
+_WINDOW_BYTES = 128 * 1024 * 1024
+
+
+def _record_lines(fmt: str) -> int:
+    return {"fastq": 4, "fasta": 2, "lines": 1}[fmt]
+
+
+def _parse_window(fmt: str, window: bytes) -> ReadsSet:
+    data, starts, lengths = _split_lines_matrix(window)
+    if fmt == "fastq":
+        from .. import native
+
+        fast = native.fastq_parse(window)
+        if fast is not None:
+            codes, quality = fast
+            return ReadsSet(codes=codes, quality=quality,
+                            read_len=codes.shape[1])
+        seq_starts, seq_lens = starts[1::4], lengths[1::4]
+        qual_starts = starts[3::4]
+    elif fmt == "fasta":
+        is_seq = data[starts] != ord(">")
+        seq_starts, seq_lens = starts[is_seq], lengths[is_seq]
+        qual_starts = None
+    else:
+        keep = lengths > 0
+        seq_starts, seq_lens = starts[keep], lengths[keep]
+        qual_starts = None
+    read_len = int(seq_lens[0])
+    if not (seq_lens == read_len).all():
+        raise ValueError("variable-length reads unsupported (constant-length model)")
+    idx = seq_starts[:, None] + np.arange(read_len)[None, :]
+    codes = dna.SYM2VAL[data[idx]]
+    quality = None
+    if qual_starts is not None:
+        quality = data[qual_starts[:, None] + np.arange(read_len)[None, :]]
+    return ReadsSet(codes=codes, quality=quality, read_len=read_len)
+
+
+def iter_reads_chunked(path: str, window_bytes: int = _WINDOW_BYTES):
+    """Yield ReadsSet chunks without holding the whole file in memory.
+
+    The reference streams records one at a time through its iterator stack
+    (readsset/iterator/ReadsSetIterator.cpp:45-243); here each IO window is
+    cut at the last complete record (records are a fixed line count per
+    format, so the cut is exact — no content sniffing) and parsed with the
+    same vectorized/native parsers as the whole-file path.
+    """
+    fmt = detect_format(path)
+    rec_lines = _record_lines(fmt)
+    rem = b""
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(window_bytes)
+            if not block:
+                break
+            buf = rem + block
+            data = np.frombuffer(buf, dtype=np.uint8)
+            ends = np.nonzero(data == ord("\n"))[0]
+            if fmt == "fasta":
+                # records are '>' lines: cut before the LAST header line so
+                # a possibly multi-line record never splits (constant-length
+                # model: one seq line per record, but stay safe)
+                nrec = ends.size // rec_lines
+            else:
+                nrec = ends.size // rec_lines
+            if nrec == 0:
+                rem = buf
+                continue
+            cut = int(ends[nrec * rec_lines - 1]) + 1
+            rem = buf[cut:]
+            yield _parse_window(fmt, buf[:cut])
+    if rem.strip():
+        yield _parse_window(fmt, rem if rem.endswith(b"\n") else rem + b"\n")
+
+
+@dataclass
+class DividedInput:
+    """Streamed stage-1 product: full code matrix + division masks, with
+    quality bytes never held beyond one IO window."""
+
+    codes: np.ndarray
+    hq_mask: np.ndarray
+    n_mask: np.ndarray
+    read_len: int
+
+    @property
+    def count(self) -> int:
+        return self.codes.shape[0]
+
+
+def read_divided(path: str, pair_path: str | None, revcomp_pair: bool,
+                 error_limit: float, simplified: bool,
+                 window_bytes: int = _WINDOW_BYTES) -> DividedInput:
+    """Chunked ingest + quality division in one pass (stage 1 at scale).
+
+    Peak extra memory is one IO window + one chunk's quality matrix; the
+    retained state is the [N, L] code matrix and two bit masks.
+    """
+    def chunks():
+        if pair_path is None:
+            for c in iter_reads_chunked(path, window_bytes):
+                yield c
+            return
+        it1 = iter_reads_chunked(path, window_bytes)
+        it2 = iter_reads_chunked(path_pair := pair_path, window_bytes)
+        buf1 = buf2 = None
+        while True:
+            # lockstep interleave with re-chunking: files may cut windows at
+            # different record counts
+            if buf1 is None or buf1.count == 0:
+                buf1 = next(it1, None)
+            if buf2 is None or buf2.count == 0:
+                buf2 = next(it2, None)
+            if buf1 is None or buf2 is None:
+                if (buf1 is None) != (buf2 is None) and (
+                        (buf1 and buf1.count) or (buf2 and buf2.count)):
+                    raise ValueError(
+                        f"paired files {path} / {path_pair} have different "
+                        "read counts")
+                return
+            k = min(buf1.count, buf2.count)
+            c1, c2 = buf1.codes[:k], buf2.codes[:k]
+            q1 = buf1.quality[:k] if buf1.quality is not None else None
+            q2 = buf2.quality[:k] if buf2.quality is not None else None
+            L = c1.shape[1]
+            if c2.shape[1] != L:
+                raise ValueError("paired files must have equal read lengths")
+            codes = np.empty((2 * k, L), dtype=np.uint8)
+            codes[0::2] = c1
+            codes[1::2] = dna.revcomp_codes(c2, axis=1) if revcomp_pair else c2
+            quality = None
+            if q1 is not None and q2 is not None:
+                quality = np.empty((2 * k, L), dtype=np.uint8)
+                quality[0::2] = q1
+                quality[1::2] = q2[:, ::-1] if revcomp_pair else q2
+            yield ReadsSet(codes=codes, quality=quality, read_len=L)
+            buf1 = ReadsSet(buf1.codes[k:],
+                            None if q1 is None else buf1.quality[k:], L)
+            buf2 = ReadsSet(buf2.codes[k:],
+                            None if q2 is None else buf2.quality[k:],
+                            c2.shape[1])
+
+    code_parts, hq_parts, n_parts = [], [], []
+    read_len = 0
+    for chunk in chunks():
+        read_len = chunk.read_len
+        code_parts.append(chunk.codes)
+        hq_parts.append(quality_high_mask(chunk, error_limit, simplified))
+        n_parts.append(contains_n_mask(chunk))
+    if not code_parts:
+        z = np.zeros((0, 0), dtype=np.uint8)
+        return DividedInput(z, np.zeros(0, bool), np.zeros(0, bool), 0)
+    codes = code_parts[0] if len(code_parts) == 1 else np.concatenate(code_parts)
+    return DividedInput(
+        codes=codes,
+        hq_mask=np.concatenate(hq_parts),
+        n_mask=np.concatenate(n_parts),
+        read_len=read_len,
+    )
+
+
 def read_paired(path1: str, path2: str, revcomp_pair: bool) -> ReadsSet:
     """Interleave two paired files read1,read2,read1,... (reference
     ReadsSetPersistence::createManagedReadsIterator pairing); optionally

@@ -34,6 +34,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-pthread",
              "-o", _SO + ".tmp", *_SOURCES],
             check=True, capture_output=True, timeout=120,
         )
@@ -104,6 +105,9 @@ def get_lib():
         lib.fastq_parse.restype = ctypes.c_int64
         lib.fastq_parse.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                     i64p, u8p, u8p]
+        lib.fastq_parse_mt.restype = ctypes.c_int64
+        lib.fastq_parse_mt.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
+                                       i64p, u8p, u8p]
         lib.lines_parse.restype = ctypes.c_int64
         lib.lines_parse.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                     i64p, u8p]
@@ -145,8 +149,8 @@ def fastq_parse(buf: bytes):
     codes = np.empty((approx, L), dtype=np.uint8)
     qual = np.empty((approx, L), dtype=np.uint8)
     rl.value = L
-    n = lib.fastq_parse(_u8p(bview), len(buf), approx, ctypes.byref(rl),
-                        _u8p(codes), _u8p(qual))
+    n = lib.fastq_parse_mt(_u8p(bview), len(buf), approx, ctypes.byref(rl),
+                           _u8p(codes), _u8p(qual))
     if n < 0:
         return None
     return codes[:n].copy(), qual[:n].copy()

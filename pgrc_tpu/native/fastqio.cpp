@@ -4,8 +4,11 @@
 // 45-243) for constant-length reads: one pass over the whole buffer,
 // emitting 2 matrices [n_reads, read_len]: symbol value codes (ACGTN ->
 // 0..4, anything else -> 4) and raw quality bytes.
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -96,12 +99,115 @@ int64_t lines_parse(const uint8_t *buf, int64_t n, int64_t max_reads,
 
 // codes [n, L] -> ASCII read lines with trailing '\n' into out [n*(L+1)].
 void reads_write_lines(const uint8_t *codes, int64_t n, int64_t L, uint8_t *out) {
-    for (int64_t r = 0; r < n; r++) {
-        const uint8_t *src = codes + r * L;
-        uint8_t *dst = out + r * (L + 1);
-        for (int64_t i = 0; i < L; i++) dst[i] = VAL2SYM[src[i] > 4 ? 4 : src[i]];
-        dst[L] = '\n';
+    int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (n < 65536) nthreads = 1;
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t r = lo; r < hi; r++) {
+            const uint8_t *src = codes + r * L;
+            uint8_t *dst = out + r * (L + 1);
+            for (int64_t i = 0; i < L; i++)
+                dst[i] = VAL2SYM[src[i] > 4 ? 4 : src[i]];
+            dst[L] = '\n';
+        }
+    };
+    if (nthreads == 1) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    for (int64_t t = 0; t < nthreads; t++)
+        ts.emplace_back(work, n * t / nthreads, n * (t + 1) / nthreads);
+    for (auto &th : ts) th.join();
+}
+
+// Multithreaded FASTQ parse for constant-length reads.
+//
+// The reference streams records through a single-threaded iterator
+// (readsset/iterator/ReadsSetIterator.cpp:45-116); at TPU-encode speeds the
+// parse would dominate, so: phase 1 collects newline offsets in parallel
+// byte ranges (memchr, ~GB/s/thread), phase 2 splits complete 4-line
+// records across threads for LUT conversion + quality copy. Exact record
+// framing comes from global line numbering — no '@' content sniffing.
+// Same return conventions as fastq_parse.
+int64_t fastq_parse_mt(const uint8_t *buf, int64_t n, int64_t max_reads,
+                       int64_t *read_len_io, uint8_t *codes,
+                       uint8_t *quality) {
+    int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (n < (4 << 20)) nthreads = 1;
+
+    // phase 1: newline offsets per byte range
+    std::vector<std::vector<int64_t>> nls((size_t)nthreads);
+    {
+        std::vector<std::thread> ts;
+        for (int64_t t = 0; t < nthreads; t++) {
+            int64_t lo = n * t / nthreads, hi = n * (t + 1) / nthreads;
+            ts.emplace_back([&, t, lo, hi]() {
+                auto &v = nls[(size_t)t];
+                v.reserve((size_t)((hi - lo) / 64 + 16));
+                const uint8_t *p = buf + lo, *end = buf + hi;
+                while (p < end) {
+                    const uint8_t *nl = find_nl(p, end);
+                    if (!nl) break;
+                    v.push_back(nl - buf);
+                    p = nl + 1;
+                }
+            });
+        }
+        for (auto &th : ts) th.join();
     }
+    std::vector<int64_t> off;
+    {
+        size_t total = 0;
+        for (auto &v : nls) total += v.size();
+        off.reserve(total + 1);
+        for (auto &v : nls) off.insert(off.end(), v.begin(), v.end());
+    }
+    bool trailing = n > 0 && buf[n - 1] != '\n';
+    if (trailing) off.push_back(n);  // final unterminated line
+    int64_t nlines = (int64_t)off.size();
+    if (nlines % 4) return -1;
+    int64_t count = nlines / 4;
+    if (count > max_reads) return -3;
+    if (count == 0) { return 0; }
+
+    // probe read length from the first record
+    int64_t L = *read_len_io;
+    {
+        int64_t s1 = off[0] + 1, e1 = off[1];
+        if (L == 0) L = e1 - s1;
+    }
+
+    // phase 2: convert records in parallel
+    std::atomic<int64_t> err{0};
+    auto work = [&](int64_t rlo, int64_t rhi) {
+        for (int64_t r = rlo; r < rhi; r++) {
+            int64_t l0 = 4 * r;
+            int64_t s0 = (l0 == 0) ? 0 : off[l0 - 1] + 1;
+            int64_t s1 = off[l0] + 1, e1 = off[l0 + 1];
+            int64_t s2 = off[l0 + 1] + 1;
+            int64_t s3 = off[l0 + 2] + 1, e3 = off[l0 + 3];
+            if (buf[s0] != '@' || buf[s2] != '+') { err = -1; return; }
+            if (e1 - s1 != L) { err = -2; return; }
+            if (e3 - s3 != L) { err = -1; return; }
+            uint8_t *crow = codes + r * L;
+            const uint8_t *p = buf + s1;
+            for (int64_t i = 0; i < L; i++) crow[i] = SYM2VAL.t[p[i]];
+            memcpy(quality + r * L, buf + s3, (size_t)L);
+        }
+    };
+    if (nthreads == 1 || count < 65536) {
+        work(0, count);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t t = 0; t < nthreads; t++)
+            ts.emplace_back(work, count * t / nthreads,
+                            count * (t + 1) / nthreads);
+        for (auto &th : ts) th.join();
+    }
+    if (err.load()) return err.load();
+    *read_len_io = L;
+    return count;
 }
 
 }  // extern "C"

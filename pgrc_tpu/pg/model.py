@@ -54,6 +54,34 @@ class ReadsList:
         z64 = np.zeros(0, dtype=np.int64)
         return ReadsList(z64, z64.copy(), np.zeros(0, dtype=bool), z8, z8.copy(), z8.copy())
 
+    def take_rows(self, sel: np.ndarray, pos: np.ndarray | None = None) -> "ReadsList":
+        """Row-gather (chunked decode): entry rows `sel`, with the flat
+        mismatch streams re-gathered through the CSR cumsum. `pos` overrides
+        the gathered positions (ORD modes supply output-order positions)."""
+        cum = self.mis_cum
+        cnt = (self.mis_cnt[sel].astype(np.int64) if self.mis_cnt.size
+               else np.zeros(sel.size, np.int64))
+        total = int(cnt.sum())
+        if total:
+            starts = cum[sel]
+            local_start = np.concatenate([np.zeros(1, np.int64),
+                                          np.cumsum(cnt)[:-1]])
+            flat = np.repeat(starts - local_start, cnt) + np.arange(total)
+            sym = self.mis_sym_code[flat]
+            off = self.mis_off[flat]
+        else:
+            sym = np.zeros(0, dtype=self.mis_sym_code.dtype)
+            off = np.zeros(0, dtype=self.mis_off.dtype)
+        return ReadsList(
+            pos=self.pos[sel] if pos is None else pos,
+            org_idx=np.zeros(0, dtype=np.int64),
+            rev_comp=self.rev_comp[sel] if self.rev_comp.size else self.rev_comp,
+            mis_cnt=cnt.astype(np.uint8),
+            mis_sym_code=sym,
+            mis_off=off,
+            mis_dec_lut=self.mis_dec_lut,
+        )
+
 
 @dataclass
 class PseudoGenome:
