@@ -1,15 +1,23 @@
 """Benchmark: compression throughput + ratio on a synthetic WGS-like FASTQ.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The metric is compression throughput in input Mbases/s on the default (SE,
-NORMAL level) configuration. vs_baseline compares against the reference PgRC
-binary when one has been built at build-ref/PgRC (see bench_ref.sh);
-otherwise against a recorded 8-thread CPU figure from this machine
-(BASELINE_LOCAL, measured once and updated when bench_ref runs).
+The headline metric is SE compression throughput in input Mbases/s on the
+default (SE, NORMAL level) configuration at PGRC_BENCH_READS reads. Extra
+fields cover the other archive modes (PE, SE_ORD), a 10x scaling point
+(PGRC_BENCH_SCALE_READS, encode+decode), peak RSS, and a hard
+bits-per-base gate: if the SE ratio regresses past the reference's
+0.1412 bits/base the whole bench reports failure — the won compression
+axis cannot silently regress while chasing throughput.
+
+vs_baseline compares against the reference PgRC binary when one has been
+built at build-ref/PgRC (see bench_ref.sh); otherwise against a recorded
+8-thread CPU figure from this machine (BASELINE_LOCAL, measured once and
+updated when bench_ref runs).
 """
 import json
 import os
+import resource
 import sys
 import time
 
@@ -20,32 +28,43 @@ import numpy as np
 # bases/s of the reference PgRC binary with -t 8 on this machine's CPU;
 # refreshed by bench_ref.sh (stored in build-ref/baseline.json when present)
 BASELINE_LOCAL_MBASES_S = 2.2
+REFERENCE_BITS_PER_BASE = 0.1412  # reference archive on the 200k config
 
 
-def synth_fastq(path, n_reads, read_len, genome_len, seed=0):
+def synth_fastq(path, n_reads, read_len, genome_len, seed=0, pair=None):
+    """Synthetic WGS-like FASTQ; with `pair`, writes a mate file whose reads
+    are sampled nearby on the genome (insert ~300) for PE benching."""
     from pgrc_tpu.utils import dna
 
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
     starts = rng.integers(0, genome_len - read_len, size=n_reads)
-    codes = genome[starts[:, None] + np.arange(read_len)[None, :]].copy()
-    flip = rng.random(n_reads) < 0.5
-    codes[flip] = dna.COMPL_VAL[codes[flip][:, ::-1]]
-    err = rng.random(codes.shape) < 0.004
-    codes[err] = (codes[err] + rng.integers(1, 4, size=int(err.sum()))) % 4
-    qual = np.full((n_reads, read_len), ord("I"), dtype=np.uint8)
-    lowq = rng.random(n_reads) < 0.12
-    qual[lowq, read_len // 2:] = ord("#")
-    lines = np.empty((n_reads, read_len * 2 + 7), dtype=np.uint8)
-    with open(path, "wb") as f:
-        chunk = []
-        for i in range(n_reads):
-            chunk.append(b"@r%d\n%s\n+\n%s\n" % (
-                i, dna.VAL2SYM[codes[i]].tobytes(), qual[i].tobytes()))
-            if len(chunk) == 65536:
-                f.write(b"".join(chunk))
-                chunk = []
-        f.write(b"".join(chunk))
+
+    def make(starts, path):
+        codes = genome[starts[:, None] + np.arange(read_len)[None, :]].copy()
+        flip = rng.random(n_reads) < 0.5
+        codes[flip] = dna.COMPL_VAL[codes[flip][:, ::-1]]
+        err = rng.random(codes.shape) < 0.004
+        codes[err] = (codes[err] + rng.integers(1, 4, size=int(err.sum()))) % 4
+        qual = np.full((n_reads, read_len), ord("I"), dtype=np.uint8)
+        lowq = rng.random(n_reads) < 0.12
+        qual[lowq, read_len // 2:] = ord("#")
+        with open(path, "wb") as f:
+            chunk = []
+            for i in range(n_reads):
+                chunk.append(b"@r%d\n%s\n+\n%s\n" % (
+                    i, dna.VAL2SYM[codes[i]].tobytes(), qual[i].tobytes()))
+                if len(chunk) == 65536:
+                    f.write(b"".join(chunk))
+                    chunk = []
+            f.write(b"".join(chunk))
+        return codes
+
+    codes = make(starts, path)
+    if pair:
+        mate_starts = np.clip(starts + rng.integers(150, 450, size=n_reads),
+                              0, genome_len - read_len)
+        make(mate_starts, pair)
     return codes
 
 
@@ -61,15 +80,29 @@ def read_baseline():
     return BASELINE_LOCAL_MBASES_S
 
 
+def _encode(encoder, PgRCParams, src, out, **kw):
+    t0 = time.time()
+    stats = encoder.encode(PgRCParams(src_fastq=src, output=out, **kw))
+    return stats, time.time() - t0
+
+
+def fail(msg):
+    print(json.dumps({"metric": "compression_throughput", "value": 0.0,
+                      "unit": "Mbases/s", "vs_baseline": 0.0, "error": msg}))
+    return 1
+
+
 def main():
     n_reads = int(os.environ.get("PGRC_BENCH_READS", 200_000))
+    n_scale = int(os.environ.get("PGRC_BENCH_SCALE_READS", 10 * n_reads))
     read_len = 100
-    genome_len = max(n_reads * read_len // 40, 200_000)  # ~40x coverage
     tmpdir = os.environ.get("PGRC_BENCH_TMP", "/tmp/pgrc_bench")
     os.makedirs(tmpdir, exist_ok=True)
     src = os.path.join(tmpdir, f"bench_{n_reads}.fastq")
-    if not os.path.exists(src):
-        synth_fastq(src, n_reads, read_len, genome_len, seed=7)
+    pair = os.path.join(tmpdir, f"bench_{n_reads}_2.fastq")
+    if not (os.path.exists(src) and os.path.exists(pair)):
+        synth_fastq(src, n_reads, read_len,
+                    max(n_reads * read_len // 40, 200_000), seed=7, pair=pair)
 
     from pgrc_tpu.archive import encoder, decoder
     from pgrc_tpu.config import PgRCParams
@@ -79,13 +112,12 @@ def main():
     # measured shapes is compiled (and lands in the persistent cache) before
     # the timed run — jit programs are shape-bucketed, so a smaller warm-up
     # input would compile different programs
-    encoder.encode(PgRCParams(src_fastq=src, output=os.path.join(tmpdir, "w.pgtc")))
+    _encode(encoder, PgRCParams, src, os.path.join(tmpdir, "w.pgtc"))
 
-    t0 = time.time()
-    stats = encoder.encode(PgRCParams(src_fastq=src, output=out))
-    dt = time.time() - t0
+    stats, dt = _encode(encoder, PgRCParams, src, out)
     bases = stats.reads_total * stats.read_len
     mbases_s = bases / 1e6 / dt
+    bits_per_base = stats.archive_bytes * 8 / bases
 
     t0 = time.time()
     n_out = decoder.decode_to_files(out, os.path.join(tmpdir, "bench_dec"))
@@ -94,10 +126,52 @@ def main():
     # correctness gate: the archive must round-trip
     rep = decoder.validate(out, src)
     if rep["errors"] or n_out != stats.reads_total:
-        print(json.dumps({"metric": "compression_throughput", "value": 0.0,
-                          "unit": "Mbases/s", "vs_baseline": 0.0,
-                          "error": "round-trip failed"}))
-        return 1
+        return fail("round-trip failed")
+    # ratio-regression gate: the compression win is load-bearing (the
+    # reference figure is for the standard ~40x-coverage 200k config, so
+    # only gate at representative sizes)
+    if n_reads >= 100_000 and bits_per_base > REFERENCE_BITS_PER_BASE:
+        return fail(f"bits_per_base {bits_per_base:.4f} regressed past "
+                    f"reference {REFERENCE_BITS_PER_BASE}")
+
+    extra = {}
+    # --- PE mode row ---
+    pe_out = os.path.join(tmpdir, "bench_pe.pgtc")
+    pstats, pdt = _encode(encoder, PgRCParams, src, pe_out, pair_fastq=pair)
+    pe_bases = pstats.reads_total * pstats.read_len
+    if decoder.validate(pe_out, src, pair)["errors"]:
+        return fail("PE round-trip failed")
+    extra["pe_mbases_s"] = round(pe_bases / 1e6 / pdt, 3)
+    extra["pe_bits_per_base"] = round(pstats.archive_bytes * 8 / pe_bases, 4)
+
+    # --- SE_ORD row ---
+    ord_out = os.path.join(tmpdir, "bench_ord.pgtc")
+    ostats, odt = _encode(encoder, PgRCParams, src, ord_out,
+                          preserve_order=True)
+    if decoder.validate(ord_out, src)["errors"]:
+        return fail("SE_ORD round-trip failed")
+    extra["se_ord_mbases_s"] = round(bases / 1e6 / odt, 3)
+    extra["se_ord_bits_per_base"] = round(ostats.archive_bytes * 8 / bases, 4)
+
+    # --- scaling row (10x reads): encode + decode throughput must hold ---
+    if n_scale > n_reads:
+        src_s = os.path.join(tmpdir, f"bench_{n_scale}.fastq")
+        if not os.path.exists(src_s):
+            synth_fastq(src_s, n_scale, read_len,
+                        max(n_scale * read_len // 40, 200_000), seed=9)
+        out_s = os.path.join(tmpdir, "bench_scale.pgtc")
+        sstats, sdt = _encode(encoder, PgRCParams, src_s, out_s)
+        s_bases = sstats.reads_total * sstats.read_len
+        t0 = time.time()
+        decoder.decode_to_files(out_s, os.path.join(tmpdir, "bench_scale_dec"))
+        s_dec = time.time() - t0
+        extra["scale_reads"] = n_scale
+        extra["scale_mbases_s"] = round(s_bases / 1e6 / sdt, 3)
+        extra["scale_bits_per_base"] = round(sstats.archive_bytes * 8 / s_bases, 4)
+        extra["scale_decomp_mbases_s"] = round(s_bases / 1e6 / s_dec, 3)
+
+    extra["peak_rss_mb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
 
     baseline = read_baseline()
     result = {
@@ -105,11 +179,12 @@ def main():
         "value": round(mbases_s, 3),
         "unit": "Mbases/s",
         "vs_baseline": round(mbases_s / baseline, 3),
-        "bits_per_base": round(stats.archive_bytes * 8 / bases, 4),
+        "bits_per_base": round(bits_per_base, 4),
         "archive_bytes": stats.archive_bytes,
         "reads": stats.reads_total,
         "decomp_mbases_s": round(bases / 1e6 / dec_dt, 3),
         "stage_times_s": {k: round(v, 2) for k, v in stats.stage_times.items()},
+        **extra,
     }
     print(json.dumps(result))
     return 0

@@ -38,6 +38,7 @@ NOT_MATCHED = np.uint8(255)
 class KmerIndex:
     starts: np.ndarray      # [2^bits + 1] int64 CSR bucket starts
     positions: np.ndarray   # [P] int64 pg positions (sampled, truncated)
+    pos_hash: np.ndarray    # [P] uint32 full k-mer hash of each position
     k: int
     k1: int
     bits: int
@@ -78,14 +79,17 @@ def build_index(
         return KmerIndex(
             starts=np.zeros((1 << bits) + 1, dtype=np.int64),
             positions=np.zeros(0, dtype=np.int64),
+            pos_hash=np.zeros(0, dtype=np.uint32),
             k=k, k1=k1, bits=bits, pg_len=n,
         )
     hashes = _window_hashes(pg_codes, k)
     sampled = np.arange(0, n - k + 1, k1, dtype=np.int64)
-    hb = (hashes[sampled] >> np.uint32(32 - bits)).astype(np.int64)
+    hs = hashes[sampled]
+    hb = (hs >> np.uint32(32 - bits)).astype(np.int64)
     order = np.argsort(hb, kind="stable")
     hb_sorted = hb[order]
     pos_sorted = sampled[order]
+    hash_sorted = hs[order]
     counts = np.bincount(hb_sorted, minlength=1 << bits)
     # truncate oversized buckets (reference collision limits, CopMEMMatcher.h:11-13)
     if counts.max(initial=0) > max_bucket:
@@ -100,10 +104,12 @@ def build_index(
             rank_in_bucket // np.maximum(stride, 1) < max_bucket
         )
         pos_sorted = pos_sorted[keep]
+        hash_sorted = hash_sorted[keep]
         counts = np.bincount(hb_sorted[keep], minlength=1 << bits)
     starts = np.zeros((1 << bits) + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
-    return KmerIndex(starts=starts, positions=pos_sorted, k=k, k1=k1, bits=bits, pg_len=n)
+    return KmerIndex(starts=starts, positions=pos_sorted, pos_hash=hash_sorted,
+                     k=k, k1=k1, bits=bits, pg_len=n)
 
 
 def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits: int,
@@ -135,7 +141,7 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
     if tail < packed.SYMS_PER_LANE:
         lane_mask[W - 1] = np.uint32((0xFFFFFFFF << (32 - 2 * tail)) & 0xFFFFFFFF)
 
-    def probe_fn(read_lanes, starts, positions, pg_lanes, pg_len):
+    def probe_fn(read_lanes, starts, positions, pos_hash, pg_lanes, pg_len):
         # --- on-device probe hashes from packed lanes ---
         sh = jnp.arange(15, -1, -1, dtype=jnp.uint32) * jnp.uint32(2)
         v = ((read_lanes[:, :W, None] >> sh[None, None, :]) & jnp.uint32(3)).reshape(
@@ -158,30 +164,41 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
         cand_valid = cslot[None, None, :] < cnt[:, :, None]
         cand_idx = jnp.clip(cand_idx, 0, positions.shape[0] - 1)
         text_pos = jnp.take(positions, cand_idx)      # [R, S, C] sampled pg pos
+        cand_hash = jnp.take(pos_hash, cand_idx)      # [R, S, C] u32
         start_pos = text_pos - offs[None, :, None]
         in_range = (start_pos >= 0) & (start_pos <= pg_len - L) & cand_valid
-        start_c = jnp.clip(start_pos, 0, jnp.maximum(pg_len - L, 0))
+        # --- hash confirmation: only the FIRST candidate whose full 32-bit
+        # k-mer hash equals the probe hash survives to the verify — the
+        # anchor k-mer then matches exactly (up to a 2^-32 collision, which
+        # the verify turns into a merely bad candidate). One verified
+        # window per (read, offset) instead of `cap`: 4-8x fewer gathered
+        # verify elements than verifying every bucket slot (the cost model
+        # on this chip is per gathered element). Reference verifies each
+        # bucket slot serially with early exit (CopMEMMatcher.cpp:523-547).
+        ok_c = in_range & (cand_hash == hashes[:, :, None])
+        pick = jnp.argmax(ok_c, axis=-1)              # first True (or 0)
+        has = ok_c.any(axis=-1)                       # [R, S]
+        start_rs = jnp.take_along_axis(start_pos, pick[..., None], axis=-1)[..., 0]
+        start_c = jnp.clip(start_rs, 0, jnp.maximum(pg_len - L, 0))
 
         # --- packed verify: align pg lanes to the read lane grid (u32) ---
-        q = (start_c >> 4).astype(jnp.int32)          # u32-lane index
+        q = (start_c >> 4).astype(jnp.int32)          # u32-lane index [R, S]
         s2 = ((start_c & 15) << 1).astype(jnp.uint32)  # bit shift in lane
-        lane_ids = q[..., None] + jnp.arange(W + 1, dtype=jnp.int32)[None, None, None, :]
+        lane_ids = q[..., None] + jnp.arange(W + 1, dtype=jnp.int32)[None, None, :]
         lane_ids = jnp.clip(lane_ids, 0, pg_lanes_len - 1)
-        tl = jnp.take(pg_lanes, lane_ids)             # [R, S, C, W+1] u32
+        tl = jnp.take(pg_lanes, lane_ids)             # [R, S, W+1] u32
         s2e = s2[..., None]
         hi = tl[..., :W] << s2e
         lo_part = jnp.where(s2e > 0, tl[..., 1 : W + 1] >> (jnp.uint32(32) - s2e), jnp.uint32(0))
-        aligned = (hi | lo_part) & jnp.asarray(lane_mask)[None, None, None, :]
-        x = aligned ^ (read_lanes[:, None, None, :W] & jnp.asarray(lane_mask)[None, None, None, :])
+        aligned = (hi | lo_part) & jnp.asarray(lane_mask)[None, None, :]
+        x = aligned ^ (read_lanes[:, None, :W] & jnp.asarray(lane_mask)[None, None, :])
         y = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
-        mis = packed.popcount_u32(y).sum(axis=-1)     # [R, S, C] i32
-        mis = jnp.where(in_range, mis, jnp.int32(255))
+        mis = packed.popcount_u32(y).sum(axis=-1)     # [R, S] i32
+        mis = jnp.where(has, mis, jnp.int32(255))
         # deterministic best: min mismatches, then min position
-        best_mis = mis.reshape(n_reads, -1).min(axis=1)
-        pos_cand = jnp.where(
-            mis == best_mis[:, None, None], start_c, jnp.int32(0x7FFFFFFF)
-        )
-        best_pos = pos_cand.reshape(n_reads, -1).min(axis=1)
+        best_mis = mis.min(axis=1)
+        pos_cand = jnp.where(mis == best_mis[:, None], start_c, jnp.int32(0x7FFFFFFF))
+        best_pos = pos_cand.min(axis=1)
         ok = best_mis <= max_mis
         return (
             jnp.where(ok, best_mis, 255).astype(jnp.uint8),
@@ -209,7 +226,7 @@ def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int,
                         pg_lanes_len, max_mis)
     smapped = shard_map(
         local, mesh=mesh,
-        in_specs=(P("data"), P(), P(), P(), P()),
+        in_specs=(P("data"), P(), P(), P(), P(), P()),
         out_specs=(P("data"), P("data")),
     )
     return jax.jit(smapped)
@@ -236,7 +253,7 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
     n = rows_lanes.shape[0]
     out_mis = np.full(n, 255, dtype=np.uint8)
     out_pos = np.full(n, -1, dtype=np.int64)
-    starts_d, positions_d, pg_lanes_d, pg_lanes_len = dev
+    starts_d, positions_d, pos_hash_d, pg_lanes_d, pg_lanes_len = dev
     D = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     if D == 1:
         mesh = None
@@ -253,7 +270,8 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
         probe_fn = _PROBE_CACHE[key]
         lanes = _pad_rows(rows_lanes[lo:hi], bsz)
         mis, pos = probe_fn(
-            jnp.asarray(lanes), starts_d, positions_d, pg_lanes_d, index.pg_len
+            jnp.asarray(lanes), starts_d, positions_d, pos_hash_d, pg_lanes_d,
+            index.pg_len,
         )
         mis_h, pos_h = jax.device_get((mis, pos))
         out_mis[lo:hi] = mis_h[:bn]
@@ -267,11 +285,13 @@ def device_index(index: KmerIndex, pg_codes: np.ndarray):
     pg_lanes = packed.pack_text_2bit(pg_codes)
     pg_lanes = _pad_1d(np.concatenate([pg_lanes, np.zeros(1, np.uint32)]),
                        _probe_bucket(len(pg_lanes) + 1))
-    positions = _pad_1d(index.positions.astype(np.int32),
-                        _probe_bucket(max(index.positions.size, 1)))
+    pbucket = _probe_bucket(max(index.positions.size, 1))
+    positions = _pad_1d(index.positions.astype(np.int32), pbucket)
+    pos_hash = _pad_1d(index.pos_hash, pbucket)
     return (
         jnp.asarray(index.starts.astype(np.int32)),
         jnp.asarray(positions),
+        jnp.asarray(pos_hash),
         jnp.asarray(pg_lanes),
         len(pg_lanes),
     )
