@@ -113,7 +113,7 @@ def build_index(
 
 
 def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits: int,
-                pg_lanes_len: int, max_mis: int):
+                pg_lanes_len: int, max_mis: int, wide: bool = False):
     """Raw (unjitted) device probe: packed read lanes -> (hash, bucket,
     gather, cross-lane-shift XOR/popcount verify, two-step deterministic
     min). Per-read independent, so any row partitioning gives identical
@@ -122,9 +122,14 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
 
     Probe hashes are computed on device from the lanes (one [R, L]
     unpack + prefix-sum rolling hash), so the host only uploads packed
-    lanes. Everything is u32/i32 — the TPU has no native 64-bit ints."""
+    lanes. Everything is u32/i32 in the standard path; `wide` switches
+    positions to i64 for pgs past 2^31 symbols (up to 2^35: lane indexes
+    stay i32) — the TPU analog of the reference's uint_pg_len_max widening
+    (pg-config.h:39-44, CopMEMMatcher.cpp:579-590)."""
     jax, jnp = _jax()
     W = (L + 15) // 16
+    pos_t = jnp.int64 if wide else jnp.int32
+    big_pos = np.int64(0x7FFFFFFFFFFFFFFF) if wide else np.int32(0x7FFFFFFF)
     n_probes = len(probe_offs)
     probe_off_np = np.asarray(probe_offs, dtype=np.int32)
 
@@ -165,7 +170,7 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
         cand_idx = jnp.clip(cand_idx, 0, positions.shape[0] - 1)
         text_pos = jnp.take(positions, cand_idx)      # [R, S, C] sampled pg pos
         cand_hash = jnp.take(pos_hash, cand_idx)      # [R, S, C] u32
-        start_pos = text_pos - offs[None, :, None]
+        start_pos = text_pos - offs[None, :, None].astype(pos_t)
         in_range = (start_pos >= 0) & (start_pos <= pg_len - L) & cand_valid
         # --- hash confirmation: only the FIRST candidate whose full 32-bit
         # k-mer hash equals the probe hash survives to the verify — the
@@ -179,7 +184,8 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
         pick = jnp.argmax(ok_c, axis=-1)              # first True (or 0)
         has = ok_c.any(axis=-1)                       # [R, S]
         start_rs = jnp.take_along_axis(start_pos, pick[..., None], axis=-1)[..., 0]
-        start_c = jnp.clip(start_rs, 0, jnp.maximum(pg_len - L, 0))
+        start_c = jnp.clip(start_rs, 0,
+                           jnp.maximum(pg_len - L, 0).astype(pos_t))
 
         # --- packed verify: align pg lanes to the read lane grid (u32) ---
         q = (start_c >> 4).astype(jnp.int32)          # u32-lane index [R, S]
@@ -197,19 +203,20 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
         mis = jnp.where(has, mis, jnp.int32(255))
         # deterministic best: min mismatches, then min position
         best_mis = mis.min(axis=1)
-        pos_cand = jnp.where(mis == best_mis[:, None], start_c, jnp.int32(0x7FFFFFFF))
+        pos_cand = jnp.where(mis == best_mis[:, None], start_c, big_pos)
         best_pos = pos_cand.min(axis=1)
         ok = best_mis <= max_mis
         return (
             jnp.where(ok, best_mis, 255).astype(jnp.uint8),
-            jnp.where(ok, best_pos, -1).astype(jnp.int32),
+            jnp.where(ok, best_pos, -1).astype(pos_t),
         )
 
     return probe_fn
 
 
 def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int,
-                    bits: int, pg_lanes_len: int, max_mis: int, mesh=None):
+                    bits: int, pg_lanes_len: int, max_mis: int, mesh=None,
+                    wide: bool = False):
     """Jitted probe; with `mesh` the read rows are sharded over the "data"
     axis and the CSR index + packed pg stay replicated (the TPU mapping of
     the reference's OMP per-read loop, matching/ReadsMatchers.cpp:426-428).
@@ -217,13 +224,13 @@ def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int,
     jax, _ = _jax()
     if mesh is None:
         return jax.jit(_make_probe(n_reads, L, probe_offs, cap, k, bits,
-                                   pg_lanes_len, max_mis))
+                                   pg_lanes_len, max_mis, wide))
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     D = int(np.prod(mesh.devices.shape))
     local = _make_probe(n_reads // D, L, probe_offs, cap, k, bits,
-                        pg_lanes_len, max_mis)
+                        pg_lanes_len, max_mis, wide)
     smapped = shard_map(
         local, mesh=mesh,
         in_specs=(P("data"), P(), P(), P(), P(), P()),
@@ -247,7 +254,7 @@ class MatchResult:
 
 
 def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
-                 mesh=None):
+                 mesh=None, wide=False):
     """Probe a [R, W+1] u32 lane batch in bucketed chunks."""
     jax, jnp = _jax()
     n = rows_lanes.shape[0]
@@ -261,11 +268,12 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
         hi = min(lo + batch_rows, n)
         bn = hi - lo
         bsz = min(max(_probe_bucket(bn), D), batch_rows)
-        key = (bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis, D)
+        key = (bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis,
+               D, wide)
         if key not in _PROBE_CACHE:
             _PROBE_CACHE[key] = _build_probe_fn(
                 bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis,
-                mesh=mesh,
+                mesh=mesh, wide=wide,
             )
         probe_fn = _PROBE_CACHE[key]
         lanes = _pad_rows(rows_lanes[lo:hi], bsz)
@@ -279,14 +287,15 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
     return out_mis, out_pos
 
 
-def device_index(index: KmerIndex, pg_codes: np.ndarray):
+def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False):
     """Upload the CSR index + packed pg text once per stage."""
     jax, jnp = _jax()
     pg_lanes = packed.pack_text_2bit(pg_codes)
     pg_lanes = _pad_1d(np.concatenate([pg_lanes, np.zeros(1, np.uint32)]),
                        _probe_bucket(len(pg_lanes) + 1))
     pbucket = _probe_bucket(max(index.positions.size, 1))
-    positions = _pad_1d(index.positions.astype(np.int32), pbucket)
+    positions = _pad_1d(
+        index.positions.astype(np.int64 if wide else np.int32), pbucket)
     pos_hash = _pad_1d(index.pos_hash, pbucket)
     return (
         jnp.asarray(index.starts.astype(np.int32)),
@@ -307,11 +316,15 @@ def match_reads(
     batch: int = 65536,
     accept_mis: int = 2,
     mesh=None,
+    force_wide: bool = False,
 ) -> MatchResult:
     """Match every read against the indexed pg, forward-first.
 
     N symbols in reads probe as A (2-bit packing collapses them); the
     encoder re-verifies N rows exactly (encoder.py stage 4).
+
+    pgs past 2^31 symbols automatically switch to the wide (i64 position)
+    probe variant; `force_wide` exercises it on small inputs (tests).
     """
     jax, jnp = _jax()
     n, L = read_codes.shape
@@ -320,12 +333,13 @@ def match_reads(
     out_mis = np.full(n, 255, dtype=np.uint8)
     if n == 0 or index.positions.size == 0 or index.pg_len < L:
         return MatchResult(out_pos, out_rc, out_mis)
-    if index.pg_len > 0x7FFF0000 - L:
+    wide = force_wide or index.pg_len > 0x7FFF0000 - L
+    if index.pg_len > (1 << 35):
         raise NotImplementedError(
-            "pg longer than 2^31 symbols needs the wide probe variant"
+            "pg longer than 2^35 symbols exceeds i32 lane indexing"
         )
 
-    dev = device_index(index, pg_codes)
+    dev = device_index(index, pg_codes, wide=wide)
     offs_full = probe_offsets(L, index.k, k2)
     if len(offs_full) > 3:
         offs_p1 = (offs_full[0], offs_full[len(offs_full) // 2], offs_full[-1])
@@ -333,34 +347,35 @@ def match_reads(
         offs_p1 = offs_full
     cap_p1 = min(cap, 4)
 
+    # pass 1: BOTH strands at 3 spread offsets for every read (on a
+    # strand-mixed input ~half the reads only match reverse-complemented;
+    # probing rc up front keeps them out of the expensive full fan-out —
+    # the reference instead rc-flips the whole pg and re-runs matching,
+    # ReadsMatchers.cpp:162-184)
     lanes_f, _ = packed.pack_lanes(read_codes)
+    rc_all = packed.revcomp_codes_matrix(read_codes)
+    rc_all[rc_all > 3] = 0  # N probes as A on the RC strand too
+    lanes_r, _ = packed.pack_lanes(rc_all)
     fm, fp = _probe_batch(lanes_f, offs_p1, cap_p1, index, dev, max_mismatches,
-                          L, batch_rows=131072, mesh=mesh)
-    rm = np.full(n, 255, dtype=np.uint8)
-    rp = np.full(n, -1, dtype=np.int64)
+                          L, batch_rows=131072, mesh=mesh, wide=wide)
+    rm, rp = _probe_batch(lanes_r, offs_p1, cap_p1, index, dev, max_mismatches,
+                          L, batch_rows=131072, mesh=mesh, wide=wide)
 
-    # pass 2: forward full fan-out for reads not accepted in pass 1
-    todo = fm > accept_mis
-    rows = np.nonzero(todo)[0]
+    # pass 2: full fan-out on both strands only for unaccepted leftovers
+    rows = np.nonzero(np.minimum(fm, rm) > accept_mis)[0]
     if rows.size:
         mis_t, pos_t = _probe_batch(lanes_f[rows], offs_full, cap, index, dev,
-                                    max_mismatches, L, batch_rows=32768, mesh=mesh)
+                                    max_mismatches, L, batch_rows=32768,
+                                    mesh=mesh, wide=wide)
         better_f = mis_t < fm[rows]
         fm[rows] = np.where(better_f, mis_t, fm[rows])
         fp[rows] = np.where(better_f, pos_t, fp[rows])
-
-    # pass 3: reverse-complement full fan-out only for reads still without a
-    # good forward hit (the reference's RC pass improves existing matches,
-    # but on a both-strand pg a decent forward hit is almost always final)
-    rows = np.nonzero(fm > accept_mis)[0]
-    if rows.size:
-        rc_codes = packed.revcomp_codes_matrix(read_codes[rows])
-        rc_codes[rc_codes > 3] = 0  # N probes as A on the RC strand too
-        rc_lanes, _ = packed.pack_lanes(rc_codes)
-        mis_t, pos_t = _probe_batch(rc_lanes, offs_full, cap, index, dev,
-                                    max_mismatches, L, batch_rows=32768, mesh=mesh)
-        rm[rows] = mis_t
-        rp[rows] = pos_t
+        mis_t, pos_t = _probe_batch(lanes_r[rows], offs_full, cap, index, dev,
+                                    max_mismatches, L, batch_rows=32768,
+                                    mesh=mesh, wide=wide)
+        better_r = mis_t < rm[rows]
+        rm[rows] = np.where(better_r, mis_t, rm[rows])
+        rp[rows] = np.where(better_r, pos_t, rp[rows])
 
     take_r = rm < fm  # strict: forward wins ties (deterministic)
     out_mis[:] = np.where(take_r, rm, fm)

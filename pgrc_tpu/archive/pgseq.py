@@ -37,11 +37,17 @@ def write_pg_sequences(out, hq_pg, lq_pg, n_pg, target_match_len: int, level: in
     out.write(bytes(header))
     joined = np.concatenate([hq_pg, lq_pg, n_pg]) if len(hq_pg) or len(lq_pg) or len(n_pg) \
         else np.zeros(0, dtype=np.uint8)
+    # per-stream codebook selection over the three tuned VarLenDNA books
+    # (the selector probes a prefix with each and keeps the smallest — the
+    # reference hard-assigns one of its three books per call site,
+    # VarLenDNACoder.cpp:200-254; probing is strictly better)
     jobs = [CompressionJob(
         "joined pg",
         joined.tobytes(),
         Codec(codecs.VARLEN_DNA, 0, level),
-        alternatives=[Codec(codecs.ZSTD, 19)],
+        alternatives=[Codec(codecs.VARLEN_DNA, 1, level),
+                      Codec(codecs.VARLEN_DNA, 2, level),
+                      Codec(codecs.ZSTD, 19)],
     )]
     if matched:
         jobs.extend(streams)

@@ -12,8 +12,19 @@ jump array next[i] = i + len(i); positions visited by the parse starting at 0
 are then marked in O(log n) scatter rounds. Decoding is a fully vectorized
 codebook concat (cumsum + scatter).
 
-Codebook 0 ("balanced"): 6 singles (ACGTN%), 16 ACGT pairs, 64 ACGT triples,
-and 170 leading ACGT 4-grams (lexicographic) = 256 codes.
+Three tuned codebooks (the reference ships three hand-tuned tables,
+VarLenDNACoder.cpp:200-254; ours are designed for this coder's greedy
+maxlen-LUT parse, not copied):
+
+  0 "balanced":   6 singles (ACGTN%), 16 ACGT pairs, 64 triples,
+                  170 leading ACGT 4-grams = 256 codes
+  1 "quad-heavy": 6 singles, 64 triples, 186 4-grams — favors long tokens
+                  on low-entropy (match-removed residual) sequence
+  2 "penta":      6 singles, 16 pairs, 64 triples, 85 4-grams, 85 5-grams
+                  — max token length 5 for highly repetitive sequence
+
+The codebook id is the codec's p1 byte in the stream header, so encoders
+can probe all books and keep the smallest (per-stream selection).
 """
 from __future__ import annotations
 
@@ -23,59 +34,75 @@ NSYM = 6  # A C G T N %
 MARK = 5  # '%' value code
 
 
+def _grams(ln: int) -> list[bytes]:
+    out = [b""]
+    for _ in range(ln):
+        out = [e + bytes([s]) for e in out for s in range(4)]
+    return out
+
+
 def _build_codebook0():
-    entries: list[bytes] = []
-    for s in range(NSYM):
-        entries.append(bytes([s]))
-    for a in range(4):
-        for b in range(4):
-            entries.append(bytes([a, b]))
-    for a in range(4):
-        for b in range(4):
-            for c in range(4):
-                entries.append(bytes([a, b, c]))
-    four = []
-    for a in range(4):
-        for b in range(4):
-            for c in range(4):
-                for d in range(4):
-                    four.append(bytes([a, b, c, d]))
-    entries.extend(four[: 256 - len(entries)])
+    entries: list[bytes] = [bytes([s]) for s in range(NSYM)]
+    entries.extend(_grams(2))
+    entries.extend(_grams(3))
+    entries.extend(_grams(4)[: 256 - len(entries)])
     assert len(entries) == 256
     return entries
 
 
-_CODEBOOKS = {0: _build_codebook0()}
+def _build_codebook1():
+    entries: list[bytes] = [bytes([s]) for s in range(NSYM)]
+    entries.extend(_grams(3))
+    entries.extend(_grams(4)[: 256 - len(entries)])
+    assert len(entries) == 256
+    return entries
+
+
+def _build_codebook2():
+    entries: list[bytes] = [bytes([s]) for s in range(NSYM)]
+    entries.extend(_grams(2))
+    entries.extend(_grams(3))
+    entries.extend(_grams(4)[:85])
+    entries.extend(_grams(5)[: 256 - len(entries)])
+    assert len(entries) == 256
+    return entries
+
+
+_CODEBOOKS = {0: _build_codebook0(), 1: _build_codebook1(),
+              2: _build_codebook2()}
+_MAXLEN = {0: 4, 1: 4, 2: 5}
+CODEBOOK_IDS = tuple(sorted(_CODEBOOKS))
 
 
 def _luts(codebook_id: int):
-    """Greedy-parse LUTs: for every 4-gram key, the longest codebook entry that
-    is a prefix of it, as (code byte, length)."""
+    """Greedy-parse LUTs: for every maxlen-gram key, the longest codebook
+    entry that is a prefix of it, as (code byte, length)."""
     entries = _CODEBOOKS[codebook_id]
+    maxlen = _MAXLEN[codebook_id]
     by_str = {e: i for i, e in enumerate(entries)}
-    keys = NSYM ** 4
+    keys = NSYM ** maxlen
     code_lut = np.zeros(keys, dtype=np.uint8)
     len_lut = np.zeros(keys, dtype=np.uint8)
-    digits = np.zeros((keys, 4), dtype=np.uint8)
+    digits = np.zeros((keys, maxlen), dtype=np.uint8)
     k = np.arange(keys)
-    for j in range(4):
-        digits[:, 3 - j] = k % NSYM
+    for j in range(maxlen):
+        digits[:, maxlen - 1 - j] = k % NSYM
         k = k // NSYM
     for key in range(keys):
         g = digits[key]
-        for ln in (4, 3, 2, 1):
+        for ln in range(maxlen, 0, -1):
             e = bytes(g[:ln])
             if e in by_str:
                 code_lut[key] = by_str[e]
                 len_lut[key] = ln
                 break
     # decode tables
-    dec_sym = np.zeros((256, 4), dtype=np.uint8)
+    dec_sym = np.zeros((256, maxlen), dtype=np.uint8)
     dec_len = np.zeros(256, dtype=np.uint8)
     for i, e in enumerate(entries):
         dec_len[i] = len(e)
         dec_sym[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
-    return code_lut, len_lut, dec_sym, dec_len
+    return code_lut, len_lut, dec_sym, dec_len, maxlen
 
 
 _LUT_CACHE: dict[int, tuple] = {}
@@ -89,29 +116,33 @@ def _get_luts(codebook_id: int):
 
 def encode(data: bytes, codebook_id: int = 0) -> bytes:
     """data: value-code bytes (0..5) -> one byte per greedy token."""
-    code_lut, len_lut, _, _ = _get_luts(codebook_id)
+    code_lut, len_lut, _, _, maxlen = _get_luts(codebook_id)
     vals = np.frombuffer(data, dtype=np.uint8)
     n = vals.size
     if n == 0:
         return b""
     if vals.max() >= NSYM:
         raise ValueError("varlen_dna input must be value codes 0..5")
-    # 4-gram key at every position (tail padded with 0s)
-    pad = np.concatenate([vals.astype(np.int64), np.zeros(3, dtype=np.int64)])
-    key = ((pad[:-3] * NSYM + pad[1:-2]) * NSYM + pad[2:-1]) * NSYM + pad[3:]
+    # maxlen-gram key at every position (tail padded with 0s)
+    pad = np.concatenate([vals.astype(np.int64),
+                          np.zeros(maxlen - 1, dtype=np.int64)])
+    key = pad[:n].copy()
+    for j in range(1, maxlen):
+        key *= NSYM
+        key += pad[j : j + n]
     tok_len = len_lut[key].astype(np.int64)
     tok_code = code_lut[key]
-    # Tail fix-up: the last <=3 positions may have matched an entry that runs
-    # past the end (their 4-gram keys include padding). Re-parse them greedily
-    # against the codebook dict (all 1..3-grams over ACGT plus all singles are
-    # present, so a parse always exists).
+    # Tail fix-up: the last <maxlen positions may have matched an entry that
+    # runs past the end (their keys include padding). Re-parse them greedily
+    # against the codebook dict (all singles are present, so a parse always
+    # exists).
     entries = _CODEBOOKS[codebook_id]
     by_str = {e: i for i, e in enumerate(entries)}
-    for i in range(max(0, n - 3), n):
+    for i in range(max(0, n - maxlen + 1), n):
         room = n - i
         if tok_len[i] <= room:
             continue
-        for ln in range(min(4, room), 0, -1):
+        for ln in range(min(maxlen, room), 0, -1):
             e = vals[i : i + ln].tobytes()
             if e in by_str:
                 tok_len[i] = ln
@@ -136,14 +167,14 @@ def encode(data: bytes, codebook_id: int = 0) -> bytes:
 
 
 def decode(data: bytes, raw_len: int, codebook_id: int = 0) -> bytes:
-    _, _, dec_sym, dec_len = _get_luts(codebook_id)
+    _, _, dec_sym, dec_len, maxlen = _get_luts(codebook_id)
     codes = np.frombuffer(data, dtype=np.uint8)
     lens = dec_len[codes].astype(np.int64)
     ends = np.cumsum(lens)
     starts = ends - lens
     total = int(ends[-1]) if codes.size else 0
     out = np.zeros(total, dtype=np.uint8)
-    for j in range(4):
+    for j in range(maxlen):
         mask = lens > j
         out[starts[mask] + j] = dec_sym[codes[mask], j]
     if total != raw_len:

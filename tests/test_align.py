@@ -67,3 +67,24 @@ def test_window_hash_consistency():
     for i in (0, 1, 7, 100, 468):
         direct = np.uint32((seq[i : i + k].astype(np.uint64) * pows.astype(np.uint64)).sum() & 0xFFFFFFFF)
         assert h[i] == direct, i
+
+
+def test_wide_probe_equivalent():
+    """The wide (i64 position) probe variant must produce identical matches
+    to the standard i32 path (pg-config.h:39-44 widening analog)."""
+    import numpy as np
+    from pgrc_tpu.align import matcher as am
+
+    rng = np.random.default_rng(5)
+    pg = rng.integers(0, 4, size=20000).astype(np.uint8)
+    starts = rng.integers(0, pg.size - 80, size=500)
+    reads = pg[starts[:, None] + np.arange(80)[None, :]].copy()
+    err = rng.random(reads.shape) < 0.01
+    reads[err] = (reads[err] + 1) % 4
+    index = am.build_index(pg, k=24, bits=16)
+    r1 = am.match_reads(reads, index, pg, max_mismatches=20)
+    r2 = am.match_reads(reads, index, pg, max_mismatches=20, force_wide=True)
+    assert np.array_equal(r1.pos, r2.pos)
+    assert np.array_equal(r1.mis, r2.mis)
+    assert np.array_equal(r1.rc, r2.rc)
+    assert (r1.pos >= 0).mean() > 0.9
