@@ -37,6 +37,30 @@ from . import order as order_enc
 from . import pgseq
 
 
+def _dump_validation(params: PgRCParams, name: str, **arrays) -> None:
+    """-V mode: write per-stage artifacts next to the archive for external
+    diffing (reference extraFilesForValidation, pgrc-params.h:46; .div
+    files readsset/iterator/ReadsSetIterator.cpp saveMapping, pg dumps
+    pgrc-encoder.cpp:228-234). Index lists go out as one-number-per-line
+    text, sequences as ACGTN lines, tables as TSV."""
+    if not params.dump_validation_files:
+        return
+    import os
+
+    d = params.output + ".validation"
+    os.makedirs(d, exist_ok=True)
+    for key, arr in arrays.items():
+        path = os.path.join(d, f"{name}_{key}")
+        if key.endswith("pg"):
+            with open(path + ".txt", "wb") as f:
+                f.write(dna.VAL2SYM[arr].tobytes())
+                f.write(b"\n")
+        elif arr.ndim == 2:
+            np.savetxt(path + ".tsv", arr, fmt="%d", delimiter="\t")
+        else:
+            np.savetxt(path + ".div", arr.reshape(-1, 1), fmt="%d")
+
+
 @dataclass
 class EncodeStats:
     reads_total: int = 0
@@ -83,6 +107,10 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
     t = {}
     t0 = time.time()
     params.resolve()
+    if params.dump_streams:
+        from ..streams import container as _container
+
+        _container.set_stream_dump_dir(params.output + ".streams")
     if params.verbosity:
         from ..utils import logchan
 
@@ -142,6 +170,8 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
             lq_idx.sort()
             hq_idx = hq_idx[keep]
     t["pgdiv"] = time.time() - t0
+    _dump_validation(params, "stage2", hq_idx=hq_idx, lq_idx=lq_idx,
+                     n_idx=n_idx)
     if E == 2:
         _save_ckpt(params, 2, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx)
         return stats
@@ -158,6 +188,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         hq_org = ck.get("hq_org", np.zeros(0, dtype=np.int64))
         hq_pos = ck.get("hq_pos", np.zeros(0, dtype=np.int64))
     t["good"] = time.time() - t0
+    _dump_validation(params, "stage3", hq_pg=hq_pg)
     if E == 3:
         _save_ckpt(params, 3, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx,
                    hq_pg=hq_pg, hq_org=hq_org, hq_pos=hq_pos)
@@ -274,6 +305,13 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
     lq_un = cand_idx[unmatched & (np.arange(cand_idx.size) < n_begin)]
     n_un = cand_idx[unmatched & (np.arange(cand_idx.size) >= n_begin)]
     t["match"] = time.time() - t0
+    if params.dump_validation_files and cand_idx.size:
+        _dump_validation(
+            params, "stage4",
+            matches=np.stack([cand_idx, mres.pos,
+                              mres.rc.astype(np.int64),
+                              mres.mis.astype(np.int64)], axis=1),
+        )
     if E == 4:
         _save_ckpt(params, 4, lq_un=lq_un, n_un=n_un,
                    matched_count=np.int64(stats.matched_count),

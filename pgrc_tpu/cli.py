@@ -26,12 +26,18 @@ def main(argv=None) -> int:
     ap.add_argument("-o", action="store_true", help="preserve original read order")
     ap.add_argument("-s", action="store_true", help="ignore pair order information (PE)")
     ap.add_argument("-t", type=int, default=0, help="threads (0=auto)")
-    ap.add_argument("-q", type=int, default=120, help="quality division error limit [promils]")
+    ap.add_argument("-q", type=int, default=None, help="quality division error limit [promils] (level default 120)")
     ap.add_argument("-Q", action="store_true", help="disable simplified suffix quality mode")
-    ap.add_argument("-g", type=int, default=65, help="generator division threshold [%%]")
-    ap.add_argument("-M", type=int, default=3, help="min chars per mismatch")
-    ap.add_argument("-p", type=int, default=45, help="target pg-in-pg match length")
+    ap.add_argument("-g", type=int, default=None, help="generator division threshold [%%] (level default 65)")
+    ap.add_argument("-M", type=int, default=None, help="min chars per mismatch (level default 3)")
+    ap.add_argument("-p", type=int, default=None, help="target pg-in-pg match length (level default 45)")
     ap.add_argument("-c", type=int, default=2, help="compression level 1..3")
+    ap.add_argument("-V", action="store_true",
+                    help="dump per-stage validation artifacts next to the archive")
+    ap.add_argument("-T", action="store_true",
+                    help="also dump every compressed stream's raw bytes")
+    ap.add_argument("-a", "--analyze", action="store_true",
+                    help="analyze the input reads set and exit (no compression)")
     ap.add_argument("-n", action="store_true", help="put reads with N in LQ set")
     ap.add_argument("-r", action="store_true", help="disable rev-compl pair file mode")
     ap.add_argument("-v", action="count", default=0,
@@ -76,6 +82,13 @@ def main(argv=None) -> int:
 
     if not args.i:
         ap.error("compression requires -i <src.fastq> [pair.fastq]")
+    if args.analyze:
+        from .core.analyzer import analyze_reads_set
+
+        props = analyze_reads_set(args.i[0],
+                                  args.i[1] if len(args.i) > 1 else None)
+        print(props.summary())
+        return 0
     from .archive import encoder
     from .config import PgRCParams
 
@@ -88,7 +101,7 @@ def main(argv=None) -> int:
         compression_level=args.c,
         error_limit_promils=args.q,
         simplified_suffix_mode=not args.Q,
-        gen_quality_coef=args.g / 100.0,
+        gen_quality_coef=args.g / 100.0 if args.g is not None else None,
         min_chars_per_mismatch=args.M,
         target_pg_match_length=args.p,
         separate_n_reads=not args.n,
@@ -98,6 +111,8 @@ def main(argv=None) -> int:
         report_path=args.R,
         begin_stage=args.B,
         end_stage=args.E,
+        dump_validation_files=args.V,
+        dump_streams=args.T,
     )
     stats = encoder.encode(params)
     total = time.time() - t0

@@ -30,22 +30,28 @@ class PgRCParams:
     ignore_pair_order: bool = False
     compression_level: int = LEVEL_NORMAL
 
+    # Level-tunable knobs use None = "not explicitly set"; resolve() fills
+    # them from the level preset. An explicitly passed value always wins —
+    # the reference's first-write-wins setters (pgrc-params.h:190-281:
+    # setters no-op when already set, level defaults applied later in
+    # initCompressionParameters :115-151).
+
     # quality-based division (stage 1)
-    error_limit_promils: int = 120
+    error_limit_promils: int | None = None        # NORMAL: 120
     simplified_suffix_mode: bool = True
     separate_n_reads: bool = True
     n_reads_lq: bool = False
 
     # generator division (stage 2)
-    gen_quality_coef: float = 0.65
+    gen_quality_coef: float | None = None         # NORMAL: 0.65
 
     # matching (stage 4)
     seed_k: int = 32                # k-mer seed length (readsExactMatchingChars role)
-    min_chars_per_mismatch: int = 3  # maxMismatches = L // this
-    match_cap: int = 8
+    min_chars_per_mismatch: int | None = None     # NORMAL: 3 (maxMismatches = L // this)
+    match_cap: int | None = None                  # NORMAL: 8
 
     # pg-vs-pg final matching (stage 7)
-    target_pg_match_length: int = 45
+    target_pg_match_length: int | None = None     # NORMAL: 45
 
     # PE pair handling
     disable_revcomp_pair: bool = False
@@ -53,6 +59,13 @@ class PgRCParams:
     # observability
     verbosity: int = 0              # 0 app, 1 +dev stream logs, 2 +trace
     report_path: str = ""           # append a TSV row per run (pgrc_res.txt role)
+    # validation dump modes (reference -V extraFilesForValidation,
+    # pgrc-params.h:46, and the stream-dump debugging role of
+    # coders/CodersLib.cpp:12-15): -V writes per-stage artifacts (division
+    # index lists, pg sequences, match table) next to the archive; -T also
+    # dumps every compressed stream's raw bytes for external diffing
+    dump_validation_files: bool = False
+    dump_streams: bool = False
 
     # stage bisection (reference -B/-E, pgrc-params.h:299-317): run stages
     # begin_stage..end_stage of the 7-stage chain, loading/persisting
@@ -76,7 +89,20 @@ class PgRCParams:
 
     def resolve(self) -> None:
         """Derive chain flags (reference prepareChainData, pgrc-encoder.cpp:27-54:
-        rev-compl pair file only in PE / ORD_PE modes)."""
+        rev-compl pair file only in PE / ORD_PE modes) and apply level
+        defaults to knobs not explicitly set (initCompressionParameters,
+        pgrc-params.h:115-151 — like the reference, levels 1 and 3 currently
+        share level 2's parameterization)."""
+        if self.error_limit_promils is None:
+            self.error_limit_promils = 120
+        if self.gen_quality_coef is None:
+            self.gen_quality_coef = 0.65
+        if self.min_chars_per_mismatch is None:
+            self.min_chars_per_mismatch = 3
+        if self.match_cap is None:
+            self.match_cap = 8
+        if self.target_pg_match_length is None:
+            self.target_pg_match_length = 45
         if not self.pair_fastq and not self.preserve_order:
             self.single_reads_mode = True
         self.revcomp_pair_file = (

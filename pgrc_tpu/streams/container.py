@@ -21,6 +21,12 @@ from .codecs import Codec
 
 _MAX_WORKERS = 8
 
+# -T stream-dump mode: when set, every compressed stream's RAW bytes are
+# also written to this directory as NNN_label.bin for external diffing
+# (the dump_after_decompression debugging role, coders/CodersLib.cpp:12-15)
+_DUMP_DIR: str | None = None
+_DUMP_SEQ = 0
+
 
 def set_threads(n: int) -> None:
     """Set the stream compression pool width (reference numberOfThreads,
@@ -28,6 +34,30 @@ def set_threads(n: int) -> None:
     global _MAX_WORKERS
     if n > 0:
         _MAX_WORKERS = n
+
+
+def set_stream_dump_dir(path: str | None) -> None:
+    """Enable/disable -T raw-stream dumping (None disables)."""
+    global _DUMP_DIR, _DUMP_SEQ
+    _DUMP_DIR = path
+    _DUMP_SEQ = 0
+    if path:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+
+
+def _dump_stream(label: str, data: bytes) -> None:
+    global _DUMP_SEQ
+    if _DUMP_DIR is None:
+        return
+    import os
+    import re
+
+    name = re.sub(r"[^A-Za-z0-9_.-]+", "_", label)
+    with open(os.path.join(_DUMP_DIR, f"{_DUMP_SEQ:03d}_{name}.bin"), "wb") as f:
+        f.write(data)
+    _DUMP_SEQ += 1
 
 
 @dataclass
@@ -82,6 +112,8 @@ def write_streams(out, jobs: list[CompressionJob]) -> list[int]:
     """Compress all jobs in parallel, write records in order; returns sizes."""
     if not jobs:
         return []
+    for job in jobs:
+        _dump_stream(job.label, job.data)
     with ThreadPoolExecutor(max_workers=min(_MAX_WORKERS, len(jobs))) as ex:
         records = list(ex.map(_compress_one, jobs))
     sizes = []
@@ -92,6 +124,7 @@ def write_streams(out, jobs: list[CompressionJob]) -> list[int]:
 
 
 def write_stream(out, job: CompressionJob) -> int:
+    _dump_stream(job.label, job.data)
     rec = _compress_one(job)
     out.write(rec)
     return len(rec)
