@@ -28,7 +28,7 @@ from ..config import PgRCParams, MODE_SE, MODE_PE, MODE_ORD_SE, MODE_ORD_PE, MOD
 from ..core import fastq, packed
 from ..overlap import greedy_scs
 from ..pg.reconstruct import extract_mismatches
-from ..streams import codecs
+from ..streams import codecs, props
 from ..streams.codecs import Codec
 from ..streams.container import CompressionJob, write_streams
 from ..utils import dna
@@ -498,40 +498,16 @@ def _write_hq_section(out, entries, entry_perm, store_off: bool, read_len: int) 
             deltas[1:] = pos[1:] - pos[:-1]
         if deltas.max(initial=0) > 255:
             raise ValueError("hq reads-list delta exceeds 255 (pg gap)")
-        jobs.append(CompressionJob(
-            "hq off", deltas.astype(np.uint8).tobytes(),
-            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-            alternatives=[Codec(codecs.ZSTD, 19), Codec(codecs.RANGE_CTX, 1),
-                          Codec(codecs.RANGE_CTX, 2)],
-        ))
-    jobs.append(CompressionJob(
-        "hq rc", rc.astype(np.uint8).tobytes(),
-        Codec(codecs.RANGE_CTX, 2, 2),
-        alternatives=[Codec(codecs.RANGE_CTX, 11, 2), Codec(codecs.ZSTD, 19)],
-    ))
-    jobs.append(CompressionJob(
-        "hq mis zero flags", (mis_cnt > 0).astype(np.uint8).tobytes(),
-        Codec(codecs.RANGE_CTX, 2, 2),
-        alternatives=[Codec(codecs.RANGE_CTX, 6, 2), Codec(codecs.RANGE_CTX, 11, 2),
-                      Codec(codecs.ZSTD, 19)],
-    ))
-    jobs.append(CompressionJob(
-        "hq mis cnt values", mis_cnt[mis_cnt > 0].tobytes(),
-        Codec(codecs.RANGE_CTX, 1, 128),
-        alternatives=[Codec(codecs.ZSTD, 19)],
-    ))
-    jobs.append(CompressionJob(
-        "hq mis sym", exc.tobytes(),
-        Codec(codecs.RANGE_CTX, 3, 4),
-        alternatives=[Codec(codecs.RANGE_CTX, 6, 4), Codec(codecs.ZSTD, 19)],
-    ))
+        jobs.append(props.job("hq_off", "hq off",
+                              deltas.astype(np.uint8).tobytes()))
+    jobs.append(props.job("hq_rc", "hq rc", rc.astype(np.uint8).tobytes()))
+    jobs.append(props.job("hq_mis_zero_flags", "hq mis zero flags",
+                          (mis_cnt > 0).astype(np.uint8).tobytes()))
+    jobs.append(props.job("hq_mis_cnt_values", "hq mis cnt values",
+                          mis_cnt[mis_cnt > 0].tobytes()))
+    jobs.append(props.job("hq_mis_sym", "hq mis sym", exc.tobytes()))
     for m, s in enumerate(off_streams, start=1):
-        jobs.append(CompressionJob(
-            f"hq mis off [{m}]", s,
-            Codec(codecs.RANGE_O0),
-            alternatives=[Codec(codecs.ZSTD, 19),
-                          Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1)],
-        ))
+        jobs.append(props.job("hq_mis_off", f"hq mis off [{m}]", s))
     write_streams(out, jobs)
 
 
@@ -542,8 +518,5 @@ def _write_plain_pg_section(out, pos: np.ndarray) -> None:
         deltas[0] = pos[0]
         deltas[1:] = pos[1:] - pos[:-1]
     assert deltas.max(initial=0) <= 255
-    write_streams(out, [CompressionJob(
-        "pg off", deltas.astype(np.uint8).tobytes(),
-        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-        alternatives=[Codec(codecs.ZSTD, 19)],
-    )])
+    write_streams(out, [props.job("pg_off", "pg off",
+                                  deltas.astype(np.uint8).tobytes())])

@@ -19,28 +19,15 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..streams import codecs
-from ..streams.codecs import Codec
-from ..streams.container import CompressionJob, StreamReader
+from ..streams import props
+from ..streams.container import StreamReader
 from ..utils.varint import encode_varints, decode_varints
 
 
-def _u8_jobs(label: str, arr: np.ndarray, period: int = 1) -> CompressionJob:
-    return CompressionJob(
-        label,
-        np.ascontiguousarray(arr, dtype=np.uint8).tobytes(),
-        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, period),
-        alternatives=[Codec(codecs.ZSTD, 19)],
-    )
-
-
-def _u32_job(label: str, arr: np.ndarray) -> CompressionJob:
-    return CompressionJob(
-        label,
-        np.ascontiguousarray(arr, dtype=np.uint32).tobytes(),
-        Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 4),
-        alternatives=[Codec(codecs.ZSTD, 19)],
-    )
+# per-stream codec choices come from the canonical props table
+# (streams/props.py, the PropsLibrary role)
+_u8_jobs = props.u8_job
+_u32_job = props.u32_job
 
 
 # ---------------------------------------------------------------------------
@@ -132,12 +119,8 @@ def encode_positions_se(out, pos: np.ndarray) -> None:
     from ..streams.container import write_streams
 
     if pos.size and int(pos.max()) > 0xFFFFFFFF:
-        job = CompressionJob(
-            "ord positions (varint64)",
-            encode_varints(pos.astype(np.uint64)),
-            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-            alternatives=[Codec(codecs.ZSTD, 19)],
-        )
+        job = props.blob_job("ord positions (varint64)",
+                             encode_varints(pos.astype(np.uint64)))
     else:
         job = _u32_job("ord positions", pos.astype(np.uint32))
     write_streams(out, [job])
@@ -172,18 +155,11 @@ def encode_positions_pe(out, pos: np.ndarray) -> None:
     wide = bool(pos.size) and int(pos.max()) > 0xFFFFFFFF
     out.write(bytes([1 if wide else 0]))
     if wide:
-        base_job = CompressionJob(
-            "ord-pe base positions (varint64)",
-            encode_varints(base.astype(np.uint64)),
-            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-            alternatives=[Codec(codecs.ZSTD, 19)],
-        )
-        full_job = CompressionJob(
+        base_job = props.blob_job("ord-pe base positions (varint64)",
+                                  encode_varints(base.astype(np.uint64)))
+        full_job = props.blob_job(
             "ord-pe full mate positions (varint64)",
-            encode_varints(m[~in_u16].astype(np.uint64)),
-            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-            alternatives=[Codec(codecs.ZSTD, 19)],
-        )
+            encode_varints(m[~in_u16].astype(np.uint64)))
     else:
         base_job = _u32_job("ord-pe base positions", base.astype(np.uint32))
         full_job = _u32_job("ord-pe full mate positions", m[~in_u16].astype(np.uint32))
@@ -191,12 +167,7 @@ def encode_positions_pe(out, pos: np.ndarray) -> None:
         base_job,
         _u8_jobs("ord-pe offset u16 flags", in_u16.astype(np.uint8)),
         _u8_jobs("ord-pe offset sign flags", is_base_first[in_u16].astype(np.uint8)),
-        CompressionJob(
-            "ord-pe offset u16 values",
-            rel[in_u16].astype(np.uint16).tobytes(),
-            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 2),
-            alternatives=[Codec(codecs.ZSTD, 19)],
-        ),
+        props.u16_job("ord-pe offset u16 values", rel[in_u16]),
         full_job,
     ]
     write_streams(out, jobs)

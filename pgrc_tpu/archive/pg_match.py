@@ -16,9 +16,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..align import matcher as align_matcher
-from ..streams import codecs
-from ..streams.codecs import Codec
-from ..streams.container import CompressionJob, StreamReader
+from ..streams import props
+from ..streams.container import StreamReader
 from ..streams.varlen_dna import MARK
 from ..utils import dna
 from ..utils.errors import PgtcFormatError
@@ -230,18 +229,11 @@ def match_pgs_in_pg(hq, lq, npg, target_len: int):
             off_blob = b"U" + np.ascontiguousarray(offs, dtype=np.uint32).tobytes()
         else:
             off_blob = b"V" + encode_varints(offs.astype(np.uint64))
-        streams.append(CompressionJob(
-            f"pgmatch {name} offsets",
-            off_blob,
-            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 4),
-            alternatives=[Codec(codecs.ZSTD, 19)],
-        ))
-        streams.append(CompressionJob(
-            f"pgmatch {name} lengths",
-            encode_varints((lens - target_len).astype(np.uint64)),
-            Codec(codecs.LZMA_CODER, codecs.LEVEL_NORMAL, 1),
-            alternatives=[Codec(codecs.ZSTD, 19)],
-        ))
+        streams.append(props.job("pgmatch_offsets",
+                                 f"pgmatch {name} offsets", off_blob))
+        streams.append(props.job(
+            "pgmatch_lengths", f"pgmatch {name} lengths",
+            encode_varints((lens - target_len).astype(np.uint64))))
     return hq_new, lq_new, n_new, streams
 
 

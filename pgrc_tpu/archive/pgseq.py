@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..streams import codecs
-from ..streams.codecs import Codec
-from ..streams.container import CompressionJob, StreamReader, write_streams
+from ..streams import props
+from ..streams.container import StreamReader, write_streams
 from ..utils.varint import write_varint, read_varint
 from ..streams.varlen_dna import MARK
 
@@ -41,14 +40,7 @@ def write_pg_sequences(out, hq_pg, lq_pg, n_pg, target_match_len: int, level: in
     # (the selector probes a prefix with each and keeps the smallest — the
     # reference hard-assigns one of its three books per call site,
     # VarLenDNACoder.cpp:200-254; probing is strictly better)
-    jobs = [CompressionJob(
-        "joined pg",
-        joined.tobytes(),
-        Codec(codecs.VARLEN_DNA, 0, level),
-        alternatives=[Codec(codecs.VARLEN_DNA, 1, level),
-                      Codec(codecs.VARLEN_DNA, 2, level),
-                      Codec(codecs.ZSTD, 19)],
-    )]
+    jobs = [props.job("joined_pg", "joined pg", joined.tobytes())]
     if matched:
         jobs.extend(streams)
     write_streams(out, jobs)
