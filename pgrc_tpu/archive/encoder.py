@@ -33,6 +33,7 @@ from ..streams.codecs import Codec
 from ..streams.container import CompressionJob, write_streams
 from ..utils import dna
 from ..utils.varint import write_varint
+from . import chain
 from . import order as order_enc
 from . import pgseq
 
@@ -76,21 +77,11 @@ class EncodeStats:
     stage_times: dict = None
 
 
-def _ckpt_path(params: PgRCParams, stage: int) -> str:
-    import os
-
-    d = params.tmp_work_dir or (params.output + ".work")
-    os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"stage{stage}.npz")
-
-
-def _save_ckpt(params: PgRCParams, stage: int, **arrays) -> None:
-    np.savez_compressed(_ckpt_path(params, stage), **arrays)
-
-
-def _load_ckpt(params: PgRCParams, stage: int) -> dict:
-    with np.load(_ckpt_path(params, stage)) as z:
-        return {k: z[k] for k in z.files}
+# checkpoint persistence delegates to the chain module, which owns the
+# shared chain-state object and the per-stage schema (pgrc-data.h role)
+_ckpt_path = chain.ckpt_path
+_save_ckpt = chain.save_ckpt
+_load_ckpt = chain.load_ckpt
 
 
 def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> EncodeStats:
