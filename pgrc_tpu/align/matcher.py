@@ -377,6 +377,24 @@ def match_reads(
         rm[rows] = np.where(better_r, mis_t, rm[rows])
         rp[rows] = np.where(better_r, pos_t, rp[rows])
 
+    # pass 3: interleaved-anchor rescue for reads both device passes missed
+    # (burst errors can kill every contiguous k-mer anchor; an interleaved
+    # anchor samples every 2nd symbol over a 2k window and survives them)
+    rows = np.nonzero(np.minimum(fm, rm) == 255)[0]
+    k_resc = min(index.k, 16)
+    if rows.size and L >= 2 * k_resc:
+        im, ip = _interleaved_rescue(read_codes[rows], pg_codes, k_resc,
+                                     max_mismatches)
+        better = im < fm[rows]
+        fm[rows] = np.where(better, im, fm[rows])
+        fp[rows] = np.where(better, ip, fp[rows])
+        rc_sub = rc_all[rows]
+        im, ip = _interleaved_rescue(rc_sub, pg_codes, k_resc,
+                                     max_mismatches)
+        better = im < rm[rows]
+        rm[rows] = np.where(better, im, rm[rows])
+        rp[rows] = np.where(better, ip, rp[rows])
+
     take_r = rm < fm  # strict: forward wins ties (deterministic)
     out_mis[:] = np.where(take_r, rm, fm)
     out_pos[:] = np.where(take_r, rp, fp)
@@ -384,6 +402,72 @@ def match_reads(
     matched = out_mis != 255
     out_pos[~matched] = -1
     return MatchResult(out_pos, out_rc, out_mis)
+
+
+def _interleaved_rescue(read_codes: np.ndarray, pg_codes: np.ndarray,
+                        k: int, max_mis: int, k1: int = 2, k2: int = 1,
+                        bits: int = 20, cap: int = 4):
+    """Interleaved-pattern anchor matching for leftover reads (the
+    InterleavedReadsApproxMatcher role, matching/ReadsMatchers.cpp:343-409):
+    anchors hash every SECOND symbol of a 2k-wide window, so a burst of
+    errors inside one contiguous k-mer cannot kill every anchor. Host
+    numpy — this only ever runs on the few reads both device passes missed.
+
+    Returns (mis uint8 [R], pos int64 [R]) in forward orientation.
+    """
+    n, L = read_codes.shape
+    out_mis = np.full(n, 255, dtype=np.uint8)
+    out_pos = np.full(n, -1, dtype=np.int64)
+    span = 2 * k  # window width covered by one interleaved anchor
+    if n == 0 or pg_codes.size < span or L < span:
+        return out_mis, out_pos
+    # interleaved window hash at pg position p = contiguous window hash of
+    # the parity-(p%2) downsampled sequence at index p//2
+    half = [ _window_hashes(pg_codes[0::2], k), _window_hashes(pg_codes[1::2], k) ]
+    sampled = np.arange(0, pg_codes.size - span + 1, k1, dtype=np.int64)
+    hs = np.where(sampled % 2 == 0,
+                  half[0][np.clip(sampled // 2, 0, half[0].size - 1)],
+                  half[1][np.clip(sampled // 2, 0, max(half[1].size - 1, 0))])
+    hb = (hs >> np.uint32(32 - bits)).astype(np.int64)
+    order = np.argsort(hb, kind="stable")
+    hb_s, pos_s, h_s = hb[order], sampled[order], hs[order]
+    counts = np.bincount(hb_s, minlength=1 << bits)
+    starts = np.zeros((1 << bits) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    r_half0 = np.stack([_window_hashes(read_codes[r, 0::2], k)
+                        for r in range(n)])
+    r_half1 = np.stack([_window_hashes(read_codes[r, 1::2], k)
+                        for r in range(n)])
+    offs = np.arange(0, L - span + 1, k2, dtype=np.int64)
+    for o in offs:
+        rh = r_half0[:, o // 2] if o % 2 == 0 else r_half1[:, o // 2]
+        b = (rh >> np.uint32(32 - bits)).astype(np.int64)
+        lo = starts[b]
+        cnt = np.minimum(starts[b + 1] - lo, cap)
+        for c in range(cap):
+            rows = np.nonzero(c < cnt)[0]
+            if rows.size == 0:
+                break
+            j = lo[rows] + c
+            okh = h_s[j] == rh[rows]
+            # anchor parity must match the read offset parity relative to
+            # the aligned start (start = anchor_pos - o)
+            start = pos_s[j] - o
+            valid = okh & (start >= 0) & (start <= pg_codes.size - L)
+            rr = rows[valid]
+            if rr.size == 0:
+                continue
+            st = start[valid]
+            win = pg_codes[st[:, None] + np.arange(L)[None, :]]
+            mis = (win != read_codes[rr]).sum(axis=1)
+            better = (mis <= max_mis) & (
+                (mis < out_mis[rr])
+                | ((mis == out_mis[rr]) & (st < out_pos[rr]))
+            )
+            out_mis[rr[better]] = mis[better].astype(np.uint8)
+            out_pos[rr[better]] = st[better]
+    return out_mis, out_pos
 
 
 def _probe_bucket(n: int) -> int:

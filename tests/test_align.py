@@ -88,3 +88,40 @@ def test_wide_probe_equivalent():
     assert np.array_equal(r1.mis, r2.mis)
     assert np.array_equal(r1.rc, r2.rc)
     assert (r1.pos >= 0).mean() > 0.9
+
+
+def test_burst_error_rescue():
+    """Reads with an error burst that kills every contiguous k-mer anchor
+    must still match via the interleaved rescue pass (the
+    InterleavedReadsApproxMatcher insurance role)."""
+    import numpy as np
+    from pgrc_tpu.align import matcher as am
+
+    rng = np.random.default_rng(7)
+    # repeat-heavy pg: tandem copies of a short unit plus unique flanks
+    unit = rng.integers(0, 4, size=350).astype(np.uint8)
+    pg = np.concatenate([rng.integers(0, 4, size=5000).astype(np.uint8)]
+                        + [unit] * 30
+                        + [rng.integers(0, 4, size=5000).astype(np.uint8)])
+    L, k = 100, 24
+    starts = rng.integers(0, pg.size - L, size=300)
+    reads = pg[starts[:, None] + np.arange(L)[None, :]].copy()
+    # plant error bursts: every k-th symbol corrupted so every contiguous
+    # k-window contains >= 1 error, but alternate symbols stay clean
+    for r in range(0, 300, 2):
+        hit = np.arange(1, L, k // 2 * 2 + 1)  # odd positions, spaced < k
+        reads[r, hit] = (reads[r, hit] + 1) % 4
+    index = am.build_index(pg, k=k, bits=16)
+    res = am.match_reads(reads, index, pg, max_mismatches=L // 3)
+    frac = (res.pos >= 0).mean()
+    # clean reads all match; burst reads must be rescued
+    assert frac > 0.97, frac
+    # matches must be honest: reconstructable within the mismatch budget
+    ok = np.nonzero(res.pos >= 0)[0]
+    win = pg[res.pos[ok, None] + np.arange(L)[None, :]]
+    from pgrc_tpu.core import packed as pk
+    rr = reads[ok].copy()
+    rc = res.rc[ok]
+    rr[rc] = pk.revcomp_codes_matrix(rr[rc])
+    mis = (win != rr).sum(axis=1)
+    assert (mis <= L // 3).all()
