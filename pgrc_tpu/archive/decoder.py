@@ -121,7 +121,8 @@ def _read_hq_section(reader: StreamReader, count: int, has_off: bool,
 
     order = np.frombuffer(reader.buf[reader.pos : reader.pos + 5], dtype=np.uint8)
     limit = reader.buf[reader.pos + 5]
-    reader.pos += 6
+    rev_offsets = bool(reader.buf[reader.pos + 6])
+    reader.pos += 7
     n_streams = (5 if has_off else 4) + limit
     blobs = reader.read_many(n_streams)
     it = iter(blobs)
@@ -140,7 +141,10 @@ def _read_hq_section(reader: StreamReader, count: int, has_off: bool,
     exc = np.frombuffer(next(it), dtype=np.uint8)
     off_streams = [next(it) for _ in range(limit)]
     stored = mm.merge_by_count(mis_cnt, off_streams, np.uint8, limit=limit)
-    mis_off = mm.rev_offset_decode(mis_cnt, stored, read_len)
+    if rev_offsets:
+        mis_off = mm.rev_offset_decode(mis_cnt, stored, read_len)
+    else:  # -A representation: plain ascending offsets
+        mis_off = stored
     return ReadsList(
         pos=pos, org_idx=np.zeros(0, dtype=np.int64), rev_comp=rc,
         mis_cnt=mis_cnt, mis_sym_code=exc, mis_off=mis_off,
@@ -310,7 +314,11 @@ def validate(path: str, src_fastq: str, pair_fastq: str = "") -> dict:
     if pair_fastq:
         orig1 = fastq.read_any(src_fastq).codes
         orig2 = fastq.read_any(pair_fastq).codes
-        origs = [orig1, orig2]
+        if ar.mode == MODE_SE:
+            # -S archives drop pair structure: compare the combined multiset
+            origs = [np.concatenate([orig1, orig2])]
+        else:
+            origs = [orig1, orig2]
     else:
         origs = [fastq.read_any(src_fastq).codes]
     report = {"reads": sum(m.shape[0] for m in mats), "errors": 0, "order_exact": True}

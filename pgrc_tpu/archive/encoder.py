@@ -215,6 +215,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
             cand_codes, index, hq_pg,
             max_mismatches=max_mis,
             cap=params.match_cap,
+            accept_mis=params.prematch_accept_mis,
             mesh=mesh,
         )
         if has_n.any():
@@ -369,7 +370,7 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
     else:
         entry_perm = np.arange(stats.hq_count)
     _write_hq_section(out, hq_entries, entry_perm, store_off=not ord_mode,
-                      read_len=L)
+                      read_len=L, rev_offsets=params.rev_offset_mismatches)
     _write_plain_pg_section(out, lq_pos)
     if params.separate_n_reads:
         _write_plain_pg_section(out, n_pos)
@@ -453,12 +454,18 @@ def _gather_flat_mismatches(perm, mis_cnt_perm, src_cum, m_sym, m_off):
     return m_sym[src_flat], m_off[src_flat]
 
 
-def _write_hq_section(out, entries, entry_perm, store_off: bool, read_len: int) -> None:
+def _write_hq_section(out, entries, entry_perm, store_off: bool,
+                      read_len: int, rev_offsets: bool = True) -> None:
     """HQ reads-list streams with the reference's v1.3-style decomposition
     (SeparatedPseudoGenomePersistence.cpp compressedBuild +
     compressRlMisRevOffDest): zero/non-zero mismatch-count split, exclusive
     symbol codes with global frequency reordering, reversed delta-from-end
-    offsets in per-count substreams (fixed-count streams transposed)."""
+    offsets in per-count substreams (fixed-count streams transposed).
+
+    `rev_offsets=False` (dev flag -A, the reference's
+    enableRevOffsetMismatchesRepresentation toggle, PgRC.cpp) stores plain
+    ascending offsets instead; the choice is recorded in the section's
+    flags byte."""
     from ..streams import mismatch as mm
 
     pos = entries["pos"][entry_perm]
@@ -475,11 +482,15 @@ def _write_hq_section(out, entries, entry_perm, store_off: bool, read_len: int) 
     order = mm.symbol_order(read_vals)
     exc = mm.exclusive_encode(pg_vals, read_vals, order)
     # reversed gap-from-end offsets, split per mismatch count
-    stored_off = mm.rev_offset_encode(mis_cnt, off, read_len)
+    if rev_offsets:
+        stored_off = mm.rev_offset_encode(mis_cnt, off, read_len)
+    else:
+        stored_off = off.astype(np.uint8 if read_len <= 256 else np.uint16)
     off_streams = mm.split_by_count(mis_cnt, stored_off)
 
-    # raw props blob: symbol order + substream limit
-    out.write(bytes(order.tobytes()) + bytes([mm.COUNT_STREAM_LIMIT]))
+    # raw props blob: symbol order + substream limit + flags byte
+    out.write(bytes(order.tobytes()) + bytes([mm.COUNT_STREAM_LIMIT])
+              + bytes([1 if rev_offsets else 0]))
 
     jobs = []
     if store_off:

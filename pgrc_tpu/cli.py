@@ -38,6 +38,14 @@ def main(argv=None) -> int:
                     help="also dump every compressed stream's raw bytes")
     ap.add_argument("-a", "--analyze", action="store_true",
                     help="analyze the input reads set and exit (no compression)")
+    ap.add_argument("-S", action="store_true",
+                    help="treat paired input as single reads (no pair info)")
+    ap.add_argument("-I", action="store_true",
+                    help="ignore pair order information (alias of -s)")
+    ap.add_argument("-A", action="store_true",
+                    help="dev: store plain mismatch offsets (no rev-offset coding)")
+    ap.add_argument("-l", type=int, default=None, metavar="MIS",
+                    help="pass-1 accept threshold in mismatches (prematch level)")
     ap.add_argument("-n", action="store_true", help="put reads with N in LQ set")
     ap.add_argument("-r", action="store_true", help="disable rev-compl pair file mode")
     ap.add_argument("-v", action="count", default=0,
@@ -97,7 +105,8 @@ def main(argv=None) -> int:
         pair_fastq=args.i[1] if len(args.i) > 1 else "",
         output=args.archive,
         preserve_order=args.o,
-        ignore_pair_order=args.s,
+        single_reads_mode=args.S,
+        ignore_pair_order=args.s or args.I,
         compression_level=args.c,
         error_limit_promils=args.q,
         simplified_suffix_mode=not args.Q,
@@ -113,7 +122,10 @@ def main(argv=None) -> int:
         end_stage=args.E,
         dump_validation_files=args.V,
         dump_streams=args.T,
+        rev_offset_mismatches=not args.A,
     )
+    if args.l is not None:
+        params.prematch_accept_mis = args.l
     stats = encoder.encode(params)
     total = time.time() - t0
     print(f"Created PGTC of size {stats.archive_bytes} bytes in {total:.2f} s.")

@@ -56,6 +56,14 @@ class PgRCParams:
     # PE pair handling
     disable_revcomp_pair: bool = False
 
+    # dev representation toggles (reference -A: disable rev-offset mismatch
+    # representation, PgRC.cpp enableRevOffsetMismatchesRepresentation) and
+    # the pass-1 accept threshold behind the reference's -l prematch level
+    # (our matcher's two-phase structure IS the prematch re-design: pass 1
+    # is the cheap prematch, pass 2 the full matcher)
+    rev_offset_mismatches: bool = True
+    prematch_accept_mis: int = 2
+
     # observability
     verbosity: int = 0              # 0 app, 1 +dev stream logs, 2 +trace
     report_path: str = ""           # append a TSV row per run (pgrc_res.txt role)
