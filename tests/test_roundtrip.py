@@ -183,3 +183,34 @@ def test_stage_bisection_identical_archive(se_input):
         encoder.encode(second)
         with open(d + "/bis_full.pgtc", "rb") as f1, open(d + "/bis.pgtc", "rb") as f2:
             assert f1.read() == f2.read(), f"cut after stage {cut} diverged"
+
+
+def test_chunked_decode_equivalence(tmp_path):
+    """iter_decoded_chunks with tiny chunks must reproduce the whole-matrix
+    decode in every mode (the streaming decode path is the production
+    writer; decode_to_matrices is defined over it, so force multi-chunk)."""
+    import numpy as np
+    from pgrc_tpu.archive import decoder, encoder
+    from pgrc_tpu.config import PgRCParams
+
+    p1 = str(tmp_path / "c1.fastq")
+    p2 = str(tmp_path / "c2.fastq")
+    synth_fastq(p1, 400, 80, 4000, seed=31)
+    synth_fastq(p2, 400, 80, 4000, seed=32)
+    for name, kw in (
+        ("se", {}),
+        ("se_ord", {"preserve_order": True}),
+        ("pe", {"pair_fastq": p2}),
+        ("pe_ord", {"pair_fastq": p2, "preserve_order": True}),
+    ):
+        out = str(tmp_path / f"{name}.pgtc")
+        encoder.encode(PgRCParams(src_fastq=p1, output=out, **kw))
+        ar = decoder.load(out)
+        whole = decoder.decode_to_matrices(ar)
+        n_files = len(whole)
+        parts = [[] for _ in range(n_files)]
+        for fi, mat in decoder.iter_decoded_chunks(ar, chunk=64):
+            parts[fi].append(mat)
+        for fi in range(n_files):
+            got = np.concatenate(parts[fi])
+            assert np.array_equal(got, whole[fi]), name
