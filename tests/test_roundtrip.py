@@ -214,3 +214,31 @@ def test_chunked_decode_equivalence(tmp_path):
         for fi in range(n_files):
             got = np.concatenate(parts[fi])
             assert np.array_equal(got, whole[fi]), name
+
+
+def test_plain_offset_representation(tmp_path):
+    """-A (plain mismatch offsets, no rev-offset coding) must round-trip;
+    the representation flag byte drives the decoder."""
+    from pgrc_tpu.archive import decoder, encoder
+    from pgrc_tpu.config import PgRCParams
+
+    src = str(tmp_path / "a.fastq")
+    synth_fastq(src, 500, 80, 3000, seed=44)
+    out = str(tmp_path / "a.pgtc")
+    encoder.encode(PgRCParams(src_fastq=src, output=out,
+                              rev_offset_mismatches=False))
+    rep = decoder.validate(out, src)
+    assert rep["errors"] == 0
+
+
+def test_analyzer(tmp_path):
+    from pgrc_tpu.core.analyzer import analyze_reads_set
+
+    src = str(tmp_path / "b.fastq")
+    synth_fastq(src, 200, 60, 2000, seed=45)
+    props = analyze_reads_set(src)
+    assert props.count == 200
+    assert props.constant_len and props.all_reads_length == 60
+    assert props.total_bases == 12000
+    assert props.has_quality
+    assert set(props.symbols) <= set("ACGTN")
