@@ -85,11 +85,13 @@ def timed_find_overlaps(codes_np, coef):
     t_up = time.time() - t0
     t0 = time.time()
     h0, a_s, a_p, succ_g, ovl_g = init_fn(lanes_d, nmask_d, jnp.int32(n))
-    jax.block_until_ready(succ_g)
+    _ = int(jax.device_get(succ_g[0]))
     t_init = time.time() - t0
     lanes_full, nmask_full = lanes_d, nmask_d
     ids = jnp.arange(n_pad, dtype=jnp.int32)
     h, p = h0, h0
+    succ_l = jnp.full((n_pad,), -1, jnp.int32)
+    ovl_l = jnp.zeros((n_pad,), jnp.int32)
     n_loc = n_pad
     iters = int(L * coef)
     i = 1
@@ -104,26 +106,22 @@ def timed_find_overlaps(codes_np, coef):
         i1 = min(i + seg, iters)
         seg_fn = g._cached("seg", g._build_seg_fn, n_loc, L, has_n, n_pad, None)
         t0 = time.time()
-        h, p, a_s, a_p, succ_g, ovl_g, n_act, n_suf, n_pref = seg_fn(
-            lanes_d, nmask_d, lanes_full, nmask_full, ids, h, p, a_s, a_p,
-            succ_g, ovl_g, jnp.int32(i), jnp.int32(i1))
-        jax.block_until_ready(n_act)
-        seg_times.append((n_loc, i1 - i, time.time() - t0))
-        i = i1
-        if i >= iters:
-            break
-        t0 = time.time()
+        h, p, a_s, a_p, succ_l, ovl_l, succ_g, ovl_g, n_act, n_suf, n_pref = \
+            seg_fn(lanes_d, nmask_d, lanes_full, nmask_full, ids, h, p, a_s,
+                   a_p, succ_l, ovl_l, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1))
         cnt, csuf, cpref = (int(v) for v in jax.device_get((n_act, n_suf, n_pref)))
+        seg_times.append((n_loc, i1 - i, time.time() - t0))
         counts.append((cnt, csuf, cpref))
-        sync_times += time.time() - t0
-        if csuf == 0 or cpref == 0:
+        i = i1
+        if i >= iters or csuf == 0 or cpref == 0:
             break
         n_new = max(g._bucket_size(cnt), g._COMPACT_FLOOR)
         if n_new < n_loc:
             t0 = time.time()
             compact_fn = g._cached("compact", g._build_compact_fn, n_loc, n_new, L, has_n)
-            lanes_d, nmask_d, ids, h, p, a_s, a_p = compact_fn(lanes_d, nmask_d, ids, h, p, a_s, a_p)
-            jax.block_until_ready(h)
+            lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_l, ovl_l = compact_fn(
+                lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_l, ovl_l)
+            _ = int(jax.device_get(h[0]))
             compact_times += time.time() - t0
             n_loc = n_new
     t0 = time.time()
@@ -167,9 +165,9 @@ index = am.build_index(pg, k=k, bits=max(14, min(24, (len(pg) // 4).bit_length()
 print(f"cand={cand.shape[0]} index pos={index.positions.size}")
 
 orig_probe_batch = am._probe_batch
-def traced_probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows, mesh=None):
+def traced_probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows, mesh=None, wide=False):
     t0 = time.time()
-    out = orig_probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows, mesh=mesh)
+    out = orig_probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows, mesh=mesh, wide=wide)
     print(f"    probe rows={rows_lanes.shape[0]:7d} offs={len(offs):3d} cap={cap} : {time.time()-t0:.3f}s", flush=True)
     return out
 am._probe_batch = traced_probe_batch
