@@ -60,9 +60,13 @@ class PgRCParams:
     # representation, PgRC.cpp enableRevOffsetMismatchesRepresentation) and
     # the pass-1 accept threshold behind the reference's -l prematch level
     # (our matcher's two-phase structure IS the prematch re-design: pass 1
-    # is the cheap prematch, pass 2 the full matcher)
+    # is the cheap prematch, pass 2 the full matcher). Only EXACT pass-1
+    # hits are final by default: a 1-2-mismatch quick hit often shadows an
+    # exact match the full fan-out would find, and each shadowed match
+    # costs mismatch-stream bytes (measured: accept 2 -> +7.9 KB archive
+    # on the 200k bench, accept 0 matches round-trip optimum)
     rev_offset_mismatches: bool = True
-    prematch_accept_mis: int = 2
+    prematch_accept_mis: int = 0
 
     # observability
     verbosity: int = 0              # 0 app, 1 +dev stream logs, 2 +trace
