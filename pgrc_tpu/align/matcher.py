@@ -13,8 +13,9 @@ matching/ReadsMatchers.cpp:421-451 OMP read loop) with:
     against the packed pg — all state is 32-bit (no emulated 64-bit ints);
   * forward-first two-phase probing (the reference's fwd pass then
     RC-improve-only, ReadsMatchers.cpp:162-184): pass 1 probes every read
-    forward at 3 spread offsets; only the leftovers probe both strands at
-    the full fan-out. RC wins only with strictly fewer mismatches;
+    forward at k1 residue-covering spread offsets; only the leftovers probe
+    both strands at the full fan-out. RC wins only with strictly fewer
+    mismatches;
   * a deterministic (mismatches, then position) two-step min reduction
     replaces the reference's benign OMP race on best-match updates.
 """
@@ -254,7 +255,7 @@ def _spread_offsets(offs_full: tuple, k1: int) -> tuple:
     one indexed exact anchor (without this, 1/k1 of clean reads miss all
     pass-1 anchors and fall through to the full fan-out; measured 78% ->
     ~35% pass-2 leftovers on the 200k bench)."""
-    if len(offs_full) <= k1:
+    if k1 <= 1 or len(offs_full) <= k1:
         return offs_full
     chosen: list[int] = []
     need = set(range(k1))
@@ -273,6 +274,16 @@ def _spread_offsets(offs_full: tuple, k1: int) -> tuple:
         # prefer the candidate farthest from already-chosen offsets
         best = max(cands, key=lambda o: min(abs(o - c) for c in chosen))
         chosen.append(best)
+    # residues can stay uncovered when gcd(k2, k1) > 1 (offs_full only hits
+    # multiples of k2 mod k1); pad back up to k1 offsets with maximally
+    # spread leftovers so pass-1 never probes FEWER windows than the k1
+    # budget
+    while len(chosen) < k1:
+        cands = [o for o in offs_full if o not in chosen]
+        if not cands:
+            break
+        chosen.append(max(cands,
+                          key=lambda o: min(abs(o - c) for c in chosen)))
     return tuple(sorted(chosen))
 
 
@@ -374,7 +385,8 @@ def match_reads(
     offs_p1 = _spread_offsets(offs_full, index.k1)
     cap_p1 = min(cap, 4)
 
-    # pass 1: BOTH strands at 3 spread offsets for every read (on a
+    # pass 1: BOTH strands at k1 residue-covering spread offsets for every
+    # read (on a
     # strand-mixed input ~half the reads only match reverse-complemented;
     # probing rc up front keeps them out of the expensive full fan-out —
     # the reference instead rc-flips the whole pg and re-runs matching,

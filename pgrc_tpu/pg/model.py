@@ -27,6 +27,10 @@ class ReadsList:
     # [5, 4] uint8 LUT (window value, exclusive code) -> read value; when set,
     # mis_sym_code holds exclusive codes (utils/helper.cpp:347-377 role)
     mis_dec_lut: np.ndarray | None = None
+    # lazily-built mismatch CSR cumsum; cached because chunked decode calls
+    # take_rows once per chunk and an O(R) recompute per chunk is O(R^2/C)
+    # across a decode (misCumCount role, SeparatedExtendedReadsList.h:18-94)
+    _mis_cum: np.ndarray | None = field(default=None, repr=False, compare=False)
 
     @property
     def count(self) -> int:
@@ -34,10 +38,12 @@ class ReadsList:
 
     @property
     def mis_cum(self) -> np.ndarray:
-        c = np.zeros(self.count + 1, dtype=np.int64)
-        if self.mis_cnt.size:
-            np.cumsum(self.mis_cnt, out=c[1:])
-        return c
+        if self._mis_cum is None or self._mis_cum.size != self.count + 1:
+            c = np.zeros(self.count + 1, dtype=np.int64)
+            if self.mis_cnt.size:
+                np.cumsum(self.mis_cnt, out=c[1:])
+            self._mis_cum = c
+        return self._mis_cum
 
     @property
     def off(self) -> np.ndarray:
