@@ -11,6 +11,26 @@ from pgrc_tpu.core import packed
 
 jax, jnp = g._jax()
 
+def _suffix_eq_prefix_exact(jax, jnp, lanes, nmask, lanes_full, nmask_full,
+                            pr_id, i, L, has_n):
+    """Exact packed suffix-vs-prefix compare (the pre-v1.4 per-round verify,
+    kept here for the archived experiment)."""
+    W = (L + 15) // 16
+    q = i // 16
+    s2 = ((i % 16) * 2).astype(jnp.uint32)
+    lane_idx = jnp.clip(q + jnp.arange(W + 1, dtype=jnp.int32), 0, W)
+    a = jnp.take(lanes, lane_idx, axis=1)
+    hi = a[:, :W] << s2
+    lo = jnp.where(s2 > 0, a[:, 1 : W + 1] >> (jnp.uint32(32) - s2), jnp.uint32(0))
+    suf = hi | lo
+    rb = jnp.take(lanes_full[:, :W], pr_id, axis=0)
+    rem = (jnp.int32(L) - i).astype(jnp.int32)
+    kvec = jnp.clip(rem - 16 * jnp.arange(W, dtype=jnp.int32), 0, 16)
+    shift = jnp.clip(32 - 2 * kvec, 0, 31).astype(jnp.uint32)
+    mask = jnp.where(kvec > 0, jnp.uint32(0xFFFFFFFF) << shift, jnp.uint32(0))
+    return (((suf ^ rb) & mask[None, :]) == 0).all(axis=1)
+
+
 N_GLOB = 262144
 N = 262144
 L = 100
@@ -130,7 +150,7 @@ def r_verify(i, lanes, ids, h, p, a_s, a_p, sg, og):
         cand = jnp.where((cand == BIG) & okj, cj, cand)
     has_cand = a_s & (cand < BIG)
     pr_id = jnp.clip(cand, 0, N_GLOB - 1)
-    eq = g._suffix_eq_prefix(jax, jnp, lanes, None, lanes, None, pr_id, i, L, False)
+    eq = _suffix_eq_prefix_exact(jax, jnp, lanes, None, lanes, None, pr_id, i, L, False)
     matched_c = has_cand & eq
     h = h + matched_c.astype(jnp.uint32)
     return h, p, a_s, a_p, sg, og
@@ -158,7 +178,7 @@ def r_full(i, lanes, ids, h, p, a_s, a_p, sg, og):
         cand = jnp.where((cand == BIG) & okj, cj, cand)
     has_cand = a_s & (cand < BIG)
     pr_id = jnp.clip(cand, 0, N_GLOB - 1)
-    eq = g._suffix_eq_prefix(jax, jnp, lanes, None, lanes, None, pr_id, i, L, False)
+    eq = _suffix_eq_prefix_exact(jax, jnp, lanes, None, lanes, None, pr_id, i, L, False)
     matched_c = has_cand & eq
     claim = jnp.full((N_GLOB,), BIG, dtype=jnp.int32).at[
         jnp.where(matched_c, pr_id, N_GLOB)].min(ids, mode="drop")
@@ -213,7 +233,7 @@ for frac in (4, 16):
             cand = jnp.where((cand == BIG) & okj, cj, cand)
         has_cand = a_s & (cand < BIG)
         pr_id = jnp.clip(cand, 0, N_GLOB - 1)
-        eq = g._suffix_eq_prefix(jax, jnp, lanes, None, lanes, None, pr_id, i, L, False)
+        eq = _suffix_eq_prefix_exact(jax, jnp, lanes, None, lanes, None, pr_id, i, L, False)
         matched_c = has_cand & eq
         claim = jnp.full((N_GLOB,), BIG, dtype=jnp.int32).at[
             jnp.where(matched_c, pr_id, N_GLOB)].min(ids, mode="drop")

@@ -232,10 +232,22 @@ def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int,
     D = int(np.prod(mesh.devices.shape))
     local = _make_probe(n_reads // D, L, probe_offs, cap, k, bits,
                         pg_lanes_len, max_mis, wide)
+
+    def local_gathered(*args):
+        # replicate the per-shard results so every process of a multi-host
+        # mesh can read the full output without a cross-host fetch (the
+        # all-gather of [R] u8+pos rows is negligible next to the probe)
+        mis, pos = local(*args)
+        return (jax.lax.all_gather(mis, "data", tiled=True),
+                jax.lax.all_gather(pos, "data", tiled=True))
+
     smapped = shard_map(
-        local, mesh=mesh,
+        local_gathered, mesh=mesh,
         in_specs=(P("data"), P(), P(), P(), P(), P()),
-        out_specs=(P("data"), P("data")),
+        out_specs=(P(), P()),
+        # the all_gather makes the outputs replicated by construction; the
+        # varying-manner analysis cannot see that through the tiled gather
+        check_vma=False,
     )
     return jax.jit(smapped)
 
@@ -318,8 +330,11 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
             )
         probe_fn = _PROBE_CACHE[key]
         lanes = _pad_rows(rows_lanes[lo:hi], bsz)
+        # under a mesh, pass host numpy (placed per in_specs on every
+        # process); single-device commits to the local chip
+        lanes_in = lanes if mesh is not None else jnp.asarray(lanes)
         mis, pos = probe_fn(
-            jnp.asarray(lanes), starts_d, positions_d, pos_hash_d, pg_lanes_d,
+            lanes_in, starts_d, positions_d, pos_hash_d, pg_lanes_d,
             index.pg_len,
         )
         mis_h, pos_h = jax.device_get((mis, pos))
@@ -328,8 +343,14 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
     return out_mis, out_pos
 
 
-def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False):
-    """Upload the CSR index + packed pg text once per stage."""
+def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
+                 mesh=None):
+    """Upload the CSR index + packed pg text once per stage.
+
+    Under a mesh the arrays stay host-side numpy: the jitted shard_map
+    places them per its replicated in_specs on every call, which works
+    identically on a single process and on a multi-host (jax.distributed)
+    mesh where each process holds the same host value."""
     jax, jnp = _jax()
     pg_lanes = packed.pack_text_2bit(pg_codes)
     pg_lanes = _pad_1d(np.concatenate([pg_lanes, np.zeros(1, np.uint32)]),
@@ -338,11 +359,12 @@ def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False):
     positions = _pad_1d(
         index.positions.astype(np.int64 if wide else np.int32), pbucket)
     pos_hash = _pad_1d(index.pos_hash, pbucket)
+    conv = (lambda a: a) if mesh is not None else jnp.asarray
     return (
-        jnp.asarray(index.starts.astype(np.int32)),
-        jnp.asarray(positions),
-        jnp.asarray(pos_hash),
-        jnp.asarray(pg_lanes),
+        conv(index.starts.astype(np.int32)),
+        conv(positions),
+        conv(pos_hash),
+        conv(pg_lanes),
         len(pg_lanes),
     )
 
@@ -380,7 +402,7 @@ def match_reads(
             "pg longer than 2^35 symbols exceeds i32 lane indexing"
         )
 
-    dev = device_index(index, pg_codes, wide=wide)
+    dev = device_index(index, pg_codes, wide=wide, mesh=mesh)
     offs_full = probe_offsets(L, index.k, k2)
     offs_p1 = _spread_offsets(offs_full, index.k1)
     cap_p1 = min(cap, 4)

@@ -46,11 +46,15 @@ def _modinv_u32(b: int) -> int:
 
 HASH_BASE_INV = np.uint32(_modinv_u32(int(HASH_BASE)))
 
-# 64-bit rolling-hash base for the overlap rounds: pairing is by full 64-bit
-# hash equality (then verified exactly), so equal-hash groups are ~always
-# exactly the equal-string groups
+# 64-bit rolling-hash bases for the overlap rounds: pairing is by full 64-bit
+# hash equality under base A, candidate pairs are confirmed by equality of an
+# INDEPENDENT base-B hash (2^-128-class false-accept odds), and the final
+# links get one exact host-side verification after the rounds — so the hot
+# round program needs no packed-lane gathers at all
 HASH_BASE64 = np.uint64(0x9E3779B97F4A7C15)
 HASH_BASE64_INV = np.uint64(pow(int(HASH_BASE64), -1, 1 << 64))
+HASH_BASE64B = np.uint64(0xC2B2AE3D27D4EB4F)
+HASH_BASE64B_INV = np.uint64(pow(int(HASH_BASE64B), -1, 1 << 64))
 
 
 @dataclass
@@ -127,9 +131,9 @@ def _pow_table(L: int) -> np.ndarray:
     return pows
 
 
-def _pow_table64(L: int) -> np.ndarray:
+def _pow_table64(L: int, base: np.uint64 = HASH_BASE64) -> np.ndarray:
     pows = np.ones(L + 1, dtype=np.uint64)
-    b = int(HASH_BASE64)
+    b = int(base)
     v = 1
     for k in range(1, L + 1):
         v = (v * b) & 0xFFFFFFFFFFFFFFFF
@@ -158,45 +162,6 @@ def _col_vals(jax, jnp, lanes, nmask, t, has_n):
     return c
 
 
-def _suffix_eq_prefix(jax, jnp, lanes, nmask, lanes_full, nmask_full, pr_id,
-                      i, L, has_n):
-    """Exact packed comparison: local row r's suffix starting at column i
-    equals GLOBAL read pr_id[r]'s prefix of length L-i. The suffix side is
-    extracted from the (possibly compacted) local lane table with cross-lane
-    shifts; the prefix side gathers from the full global lane table by read
-    id, so the comparison is independent of how rows are partitioned across
-    devices or compacted over time."""
-    W, Wn = _lane_dims(L)
-    q = i // 16
-    s2 = ((i % 16) * 2).astype(jnp.uint32)
-    lane_idx = jnp.clip(q + jnp.arange(W + 1, dtype=jnp.int32), 0, W)
-    a = jnp.take(lanes, lane_idx, axis=1)           # [n, W+1]
-    hi = a[:, :W] << s2
-    lo = jnp.where(s2 > 0, a[:, 1 : W + 1] >> (jnp.uint32(32) - s2), jnp.uint32(0))
-    suf = hi | lo
-    rb = jnp.take(lanes_full[:, :W], pr_id, axis=0)
-    rem = (jnp.int32(L) - i).astype(jnp.int32)
-    kvec = jnp.clip(rem - 16 * jnp.arange(W, dtype=jnp.int32), 0, 16)
-    shift = jnp.clip(32 - 2 * kvec, 0, 31).astype(jnp.uint32)
-    mask = jnp.where(kvec > 0, jnp.uint32(0xFFFFFFFF) << shift, jnp.uint32(0))
-    eq = (((suf ^ rb) & mask[None, :]) == 0).all(axis=1)
-    if has_n:
-        qn = i // 32
-        sn = (i % 32).astype(jnp.uint32)
-        lane_idx_n = jnp.clip(qn + jnp.arange(Wn + 1, dtype=jnp.int32), 0, Wn)
-        an = jnp.take(nmask, lane_idx_n, axis=1)
-        hi_n = an[:, :Wn] << sn
-        lo_n = jnp.where(sn > 0, an[:, 1 : Wn + 1] >> (jnp.uint32(32) - sn), jnp.uint32(0))
-        sufn = hi_n | lo_n
-        rbn = jnp.take(nmask_full[:, :Wn], pr_id, axis=0)
-        kn = jnp.clip(rem - 32 * jnp.arange(Wn, dtype=jnp.int32), 0, 32)
-        shiftn = jnp.clip(32 - kn, 0, 31).astype(jnp.uint32)
-        maskn = jnp.where(kn > 0, jnp.uint32(0xFFFFFFFF) << shiftn, jnp.uint32(0))
-        eq = eq & ((((sufn ^ rbn) & maskn[None, :]) == 0).all(axis=1))
-    return eq
-
-
-
 def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     """A segment of overlap rounds [i0, i1) at local table size `n` as one
     device program. Per-row state (hashes, active flags, pending links,
@@ -209,13 +174,16 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     equal-hash group prefixes sort before suffixes (both by global id) and
     the k-th suffix pairs with the k-th prefix — the segmented ranks come
     from cumulative min/max scans over the sorted keys, all elementwise.
-    Pairs are verified exactly on the packed lanes (a 64-bit collision can
-    only cost a missed match, never a wrong link), and all per-round
-    scatters are 32-bit (one u32 scatter carries both the candidate id and
-    the claimed bit; the TPU's emulated 64-bit scatter path is ~6x slower).
-    Measured on TPU v5e at n=262k: sort+scans ~1.7 ms, total round ~14 ms —
-    vs ~61 ms for a scatter-table round (gathers/scatters cost 2-4 ms each,
-    sorts ~1 ms, so the design minimises scatter/gather count).
+    Candidate pairs are CONFIRMED by equality of an independent second
+    64-bit rolling hash carried through the sort as a payload (v1.4: this
+    replaced the per-round exact packed-lane verify, whose two [n, W]
+    gathers dominated round cost at scale — a pair is accepted only when
+    two independent polynomial hashes both match, and the final links get
+    one exact host-side verification after the rounds, so a double
+    collision can still only cost a dropped link, never a wrong byte).
+    All per-round scatters are 32-bit (one u32 scatter carries both the
+    candidate id and the claimed bit; the TPU's emulated 64-bit scatter
+    path is ~6x slower).
 
     A read whose suffix equals its own prefix is never linked to itself;
     its prefix is still consumed that round (a conservative, deterministic
@@ -235,7 +203,9 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     # fetched device->host at lowering time to embed as an MLIR constant,
     # which costs ~80 s per array over a tunneled TPU
     pows64 = _pow_table64(L)
+    pows64b = _pow_table64(L, HASH_BASE64B)
     inv64 = np.uint64(HASH_BASE64_INV)
+    inv64b = np.uint64(HASH_BASE64B_INV)
     axis = "data" if mesh is not None else None
     D = _mesh_size(mesh)
     m = 2 * n * D                   # total sorted entries
@@ -250,18 +220,20 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     def _allsum(x):
         return jax.lax.psum(x, axis) if axis else x
 
-    def round_fn(i, lanes, nmask, lanes_full, nmask_full, ids, rows, h, p,
+    def round_fn(i, lanes, nmask, ids, rows, h, p, h2, p2,
                  active_s, active_p, succ_l, ovl_l):
         # --- rolling hash updates (suffix drops column i-1, prefix drops
         #     column L-i) — these run every round even if matching is
         #     skipped, the recurrences are cumulative ---
         vi = _col_vals(jax, jnp, lanes, nmask, i - 1, has_n).astype(jnp.uint64)
         h = h - vi * jnp.asarray(pows64)[L - i]
+        h2 = h2 - vi * jnp.asarray(pows64b)[L - i]
         vm = _col_vals(jax, jnp, lanes, nmask, L - i, has_n).astype(jnp.uint64)
         p = (p - vm) * inv64
+        p2 = (p2 - vm) * inv64b
 
         def do_match(args):
-            h, p, active_s, active_p, succ_l, ovl_l = args
+            h, p, h2, p2, active_s, active_p, succ_l, ovl_l = args
             gid_u = ids.astype(jnp.uint32)
             # --- 2n entries: prefixes first inside an equal-hash group,
             # each side ordered by global id (deterministic ranks) ---
@@ -272,12 +244,14 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
                 jnp.where(active_s, gid_u | jnp.uint32(0x80000000), INV32),
             ])
             pay = jnp.concatenate([rows, rows])  # local row of each entry
+            v2 = jnp.concatenate([p2, h2])       # confirm hash per entry
             if axis:
                 k1 = jax.lax.all_gather(k1, axis, tiled=True)
                 k2 = jax.lax.all_gather(k2, axis, tiled=True)
                 pay = jax.lax.all_gather(pay, axis, tiled=True)
-            k1s, k2s, prs = jax.lax.sort((k1, k2, pay), num_keys=2,
-                                         is_stable=False)
+                v2 = jax.lax.all_gather(v2, axis, tiled=True)
+            k1s, k2s, prs, v2s = jax.lax.sort((k1, k2, pay, v2), num_keys=2,
+                                              is_stable=False)
 
             idx = jnp.arange(m, dtype=jnp.int32)
             valid = k2s != INV32
@@ -307,9 +281,14 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
             n_pref_seg = fs_bwd - seg_start
             partner_pos = seg_start + r
             paired = is_suf & (fs_bwd >= 0) & (r < n_pref_seg)
-            pk2 = jnp.take(k2s, jnp.clip(partner_pos, 0, m - 1))
+            pidx = jnp.clip(partner_pos, 0, m - 1)
+            pk2 = jnp.take(k2s, pidx)
             partner_gid = (pk2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-            suf_ok = paired & (partner_gid != gid_s)
+            # second-hash confirmation: partner's prefix confirm-hash must
+            # equal this suffix's confirm-hash (one [m] u64 gather — the
+            # only gather in the round besides pk2)
+            pv2 = jnp.take(v2s, pidx)
+            suf_ok = paired & (partner_gid != gid_s) & (pv2 == v2s)
             # prefix side: claimed iff rank < number of suffixes in group
             n_suf_seg = seg_end - jnp.minimum(fs_fwd, seg_end)
             claimed = is_pref & ((idx - seg_start) < n_suf_seg)
@@ -333,12 +312,7 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
 
             cand = (rowv & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) - 1
             claimed_row = (rowv & jnp.uint32(0x80000000)) != 0
-            has_cand = cand >= 0
-            pr_id = jnp.clip(cand, 0, n_glob - 1)
-            # --- exact verification on packed lanes ---
-            eq = _suffix_eq_prefix(jax, jnp, lanes, nmask, lanes_full,
-                                   nmask_full, pr_id, i, L, has_n)
-            matched = has_cand & eq
+            matched = cand >= 0
 
             # --- pending links: elementwise row-state merge (no scatter);
             # flushed to the global arrays once per segment ---
@@ -347,16 +321,16 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
             ovl_l = jnp.where(matched, ovl_new, ovl_l)
             active_s = active_s & ~matched
             active_p = active_p & ~claimed_row
-            return h, p, active_s, active_p, succ_l, ovl_l
+            return h, p, h2, p2, active_s, active_p, succ_l, ovl_l
 
         some_work = _allsum(active_s.any().astype(jnp.int32)) > 0
         some_work = some_work & (_allsum(active_p.any().astype(jnp.int32)) > 0)
         return jax.lax.cond(
-            some_work, do_match, lambda a: (h, p) + a[2:],
-            (h, p, active_s, active_p, succ_l, ovl_l),
+            some_work, do_match, lambda a: (h, p, h2, p2) + a[4:],
+            (h, p, h2, p2, active_s, active_p, succ_l, ovl_l),
         )
 
-    def seg_fn(lanes, nmask, lanes_full, nmask_full, ids, h, p,
+    def seg_fn(lanes, nmask, ids, h, p, h2, p2,
                active_s, active_p, succ_l, ovl_l, succ_g, ovl_g, i0, i1):
         if axis:
             # entry payload identifying a row across devices: the global id
@@ -368,13 +342,13 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
             rows = jnp.arange(n, dtype=jnp.int32)
 
         def body(i, carry):
-            h, p, a_s, a_p, sl, ol = carry
-            return round_fn(jnp.int32(i), lanes, nmask, lanes_full,
-                            nmask_full, ids, rows, h, p, a_s, a_p, sl, ol)
+            h, p, h2, p2, a_s, a_p, sl, ol = carry
+            return round_fn(jnp.int32(i), lanes, nmask, ids, rows,
+                            h, p, h2, p2, a_s, a_p, sl, ol)
 
-        carry = (h, p, active_s, active_p, succ_l, ovl_l)
+        carry = (h, p, h2, p2, active_s, active_p, succ_l, ovl_l)
         carry = jax.lax.fori_loop(i0, i1, body, carry)
-        h, p, a_s, a_p, sl, ol = carry
+        h, p, h2, p2, a_s, a_p, sl, ol = carry
         # flush pending links to global id space (two i32 scatters/segment)
         flush = sl >= 0
         tgt = jnp.where(flush, ids, n_glob)
@@ -388,7 +362,7 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
         n_active = _allsum((a_s | a_p).sum(dtype=jnp.int32))
         n_suf = _allsum(a_s.sum(dtype=jnp.int32))
         n_pref = _allsum(a_p.sum(dtype=jnp.int32))
-        return h, p, a_s, a_p, sl, ol, sg, og, n_active, n_suf, n_pref
+        return h, p, h2, p2, a_s, a_p, sl, ol, sg, og, n_active, n_suf, n_pref
 
     if mesh is None:
         return jax.jit(seg_fn)
@@ -400,8 +374,8 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     smapped = shard_map(
         seg_fn,
         mesh=mesh,
-        in_specs=(S, S, R, R, S, S, S, S, S, S, S, R, R, R, R),
-        out_specs=(S, S, S, S, S, S, R, R, R, R, R),
+        in_specs=(S, S, S, S, S, S, S, S, S, S, S, R, R, R, R),
+        out_specs=(S, S, S, S, S, S, S, S, R, R, R, R, R),
     )
     return jax.jit(smapped)
 
@@ -412,6 +386,7 @@ def _build_init_fn(n: int, L: int, has_n: bool):
     Emits links directly in global id space (ids are the identity here)."""
     jax, jnp = _jax()
     pows = _pow_table64(L)
+    pows_b = _pow_table64(L, HASH_BASE64B)
     W, Wn = _lane_dims(L)
     INVALID64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -428,8 +403,11 @@ def _build_init_fn(n: int, L: int, has_n: bool):
             )[:, :L]
             c = c + (nb << jnp.uint32(2))
         # h0[r] = sum_j v[r,j] * B^(L-1-j); uint64 accumulate == mod-2^64
-        h0 = (c.astype(jnp.uint64)
-              * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
+        c64 = c.astype(jnp.uint64)
+        h0 = (c64 * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
+            axis=1, dtype=jnp.uint64
+        )
+        h0b = (c64 * jnp.asarray(pows_b[L - 1 :: -1][: L].copy())[None, :]).sum(
             axis=1, dtype=jnp.uint64
         )
         idx = jnp.arange(n, dtype=jnp.int32)
@@ -461,7 +439,7 @@ def _build_init_fn(n: int, L: int, has_n: bool):
             jnp.where(matched, nxt, n)
         ].set(True, mode="drop")
         active_p = ~has_pred & real
-        return h0, active_s, active_p, succ, ovl
+        return h0, h0b, active_s, active_p, succ, ovl
 
     return jax.jit(init_fn)
 
@@ -473,7 +451,7 @@ def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool):
     the global succ/ovl arrays, so no information is lost."""
     jax, jnp = _jax()
 
-    def compact_fn(lanes, nmask, ids, h, p, a_s, a_p, succ_l, ovl_l):
+    def compact_fn(lanes, nmask, ids, h, p, h2, p2, a_s, a_p, succ_l, ovl_l):
         pos = jnp.arange(n_old, dtype=jnp.int32)
         drop = (~(a_s | a_p)).astype(jnp.int32)
         _, perm = jax.lax.sort((drop, pos), num_keys=1, is_stable=True)
@@ -484,6 +462,8 @@ def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool):
             jnp.take(ids, sel),
             jnp.take(h, sel),
             jnp.take(p, sel),
+            jnp.take(h2, sel),
+            jnp.take(p2, sel),
             jnp.take(a_s, sel),
             jnp.take(a_p, sel),
             jnp.take(succ_l, sel),
@@ -511,7 +491,7 @@ def _cached(kind: str, builder, *shape) -> object:
 # fastest in the first high-overlap rounds), longer later
 _SEG_PLAN = (6, 6, 12, 12, 24, 24)
 _SEG_TAIL = 48
-_COMPACT_FLOOR = 2048
+_COMPACT_FLOOR = 4096
 
 
 def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapResult:
@@ -555,17 +535,23 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
     init_fn = _cached("init", _build_init_fn, n_pad, L, has_n)
     lanes_d = jnp.asarray(lanes_np)
     nmask_d = jnp.asarray(nmask_np) if has_n else jnp.zeros((n_pad, 1), dtype=jnp.uint32)
-    h0, a_s, a_p, succ_g, ovl_g = init_fn(lanes_d, nmask_d, jnp.int32(n))
+    h0, h0b, a_s, a_p, succ_g, ovl_g = init_fn(lanes_d, nmask_d, jnp.int32(n))
+    ids = jnp.arange(n_pad, dtype=jnp.int32)
     if mesh is not None:
         # init ran as a single-device program; hand the arrays back to host
-        # so the sharded segment program is free to lay them out per-shard
-        h0, a_s, a_p, succ_g, ovl_g = jax.device_get(
-            (h0, a_s, a_p, succ_g, ovl_g))
-    ids = jnp.arange(n_pad, dtype=jnp.int32)
-    # the full (never compacted) lane tables back the by-global-id prefix
-    # gathers; the working tables below shrink with compaction
-    lanes_full, nmask_full = lanes_d, nmask_d
+        # so the sharded segment program is free to lay them out per-shard.
+        # The lane tables and ids go back to numpy too: every process of a
+        # multi-host mesh holds the same host value and the jitted shard_map
+        # places its own shards per in_specs (jax.distributed over DCN,
+        # SURVEY §2.8)
+        h0, h0b, a_s, a_p, succ_g, ovl_g = jax.device_get(
+            (h0, h0b, a_s, a_p, succ_g, ovl_g))
+        lanes_d = lanes_np
+        nmask_d = (nmask_np if has_n
+                   else np.zeros((n_pad, 1), dtype=np.uint32))
+        ids = np.arange(n_pad, dtype=np.int32)
     h, p = h0, h0
+    h2, p2 = h0b, h0b
     # pending links in ROW space (merged elementwise each round, flushed to
     # the global arrays at segment end — keeps the hot loop scatter-free);
     # numpy so the first jit call places them per the mesh layout
@@ -585,11 +571,11 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
         seg_fn = _cached("seg", _build_seg_fn,
                          n_loc if mesh is None else n_pad // D,
                          L, has_n, n_pad, mesh if mesh is not None else None)
-        h, p, a_s, a_p, succ_l, ovl_l, succ_g, ovl_g, n_act, n_suf, n_pref = \
-            seg_fn(
-                lanes_d, nmask_d, lanes_full, nmask_full, ids, h, p, a_s, a_p,
-                succ_l, ovl_l, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1),
-            )
+        (h, p, h2, p2, a_s, a_p, succ_l, ovl_l, succ_g, ovl_g,
+         n_act, n_suf, n_pref) = seg_fn(
+            lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p,
+            succ_l, ovl_l, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1),
+        )
         i = i1
         if i >= iters:
             break
@@ -601,23 +587,48 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
             cnt, csuf, cpref = (int(v) for v in jax.device_get(pending))
             if csuf == 0 or cpref == 0:
                 break  # nothing left to match — remaining rounds are no-ops
-            n_new = max(_bucket_size(cnt), _COMPACT_FLOOR)
+            n_new = _ladder_size(cnt)
             if n_new < n_loc and mesh is None:
                 # compaction changes only row placement, never link choices
                 # (all decisions are in global-id space), and every dropped
                 # row's links were flushed at the last segment end
                 compact_fn = _cached("compact", _build_compact_fn, n_loc, n_new, L, has_n)
-                lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_l, ovl_l = \
-                    compact_fn(
-                        lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_l, ovl_l
-                    )
+                (lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p,
+                 succ_l, ovl_l) = compact_fn(
+                    lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p,
+                    succ_l, ovl_l
+                )
                 n_loc = n_new
         pending = (n_act, n_suf, n_pref)
 
     # device_get, not np.asarray: the __array__ readback path stalls ~10 s
     # per call on a tunneled TPU, device_get transfers in ms
     succ_h, ovl_h = jax.device_get((succ_g, ovl_g))
-    return OverlapResult(succ_h[:n].copy(), ovl_h[:n].copy(), L)
+    res = OverlapResult(succ_h[:n].copy(), ovl_h[:n].copy(), L)
+    _verify_links(res, codes)
+    return res
+
+
+def _verify_links(res: OverlapResult, codes: np.ndarray) -> None:
+    """One exact host-side verification of the final links (in place).
+
+    Round pairing accepts on two independent 64-bit hash matches; this pass
+    compares the actual overlap bytes and cuts any link that fails, so even
+    a double hash collision costs only a dropped link (a slightly longer
+    pg), never a wrong pseudogenome byte. Vectorized per overlap length;
+    duplicate links (overlap == L) were compared exactly at init and skip."""
+    L = res.read_len
+    has = np.nonzero((res.succ >= 0) & (res.overlap < L))[0]
+    if not has.size:
+        return
+    ovl = res.overlap[has]
+    for o in np.unique(ovl):
+        rows = has[ovl == o]
+        bad = (codes[rows, L - o:] != codes[res.succ[rows], :o]).any(axis=1)
+        if bad.any():
+            cut = rows[bad]
+            res.succ[cut] = -1
+            res.overlap[cut] = 0
 
 
 def _bucket_size(n: int) -> int:
@@ -627,6 +638,20 @@ def _bucket_size(n: int) -> int:
     b = 256
     while b < n:
         b *= 2
+    return b
+
+
+def _ladder_size(n: int) -> int:
+    """Round N up to the next power of FOUR (>= _COMPACT_FLOOR): compaction
+    targets. A coarse shared ladder keeps the set of compiled (seg, compact)
+    shapes tiny and IDENTICAL across input scales and stages, so the
+    persistent compilation cache absorbs them once per machine — each
+    sort/scan program costs ~30-45 s to compile on the TPU backend, which
+    dominated large-input wall time when every input size minted its own
+    shape trail (the round-3 '10x-scale throughput collapse')."""
+    b = _COMPACT_FLOOR
+    while b < n:
+        b *= 4
     return b
 
 

@@ -84,12 +84,12 @@ def timed_find_overlaps(codes_np, coef):
     lanes_d.block_until_ready()
     t_up = time.time() - t0
     t0 = time.time()
-    h0, a_s, a_p, succ_g, ovl_g = init_fn(lanes_d, nmask_d, jnp.int32(n))
+    h0, h0b, a_s, a_p, succ_g, ovl_g = init_fn(lanes_d, nmask_d, jnp.int32(n))
     _ = int(jax.device_get(succ_g[0]))
     t_init = time.time() - t0
-    lanes_full, nmask_full = lanes_d, nmask_d
     ids = jnp.arange(n_pad, dtype=jnp.int32)
     h, p = h0, h0
+    h2, p2 = h0b, h0b
     succ_l = jnp.full((n_pad,), -1, jnp.int32)
     ovl_l = jnp.zeros((n_pad,), jnp.int32)
     n_loc = n_pad
@@ -106,8 +106,9 @@ def timed_find_overlaps(codes_np, coef):
         i1 = min(i + seg, iters)
         seg_fn = g._cached("seg", g._build_seg_fn, n_loc, L, has_n, n_pad, None)
         t0 = time.time()
-        h, p, a_s, a_p, succ_l, ovl_l, succ_g, ovl_g, n_act, n_suf, n_pref = \
-            seg_fn(lanes_d, nmask_d, lanes_full, nmask_full, ids, h, p, a_s,
+        (h, p, h2, p2, a_s, a_p, succ_l, ovl_l, succ_g, ovl_g,
+         n_act, n_suf, n_pref) = \
+            seg_fn(lanes_d, nmask_d, ids, h, p, h2, p2, a_s,
                    a_p, succ_l, ovl_l, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1))
         cnt, csuf, cpref = (int(v) for v in jax.device_get((n_act, n_suf, n_pref)))
         seg_times.append((n_loc, i1 - i, time.time() - t0))
@@ -115,12 +116,13 @@ def timed_find_overlaps(codes_np, coef):
         i = i1
         if i >= iters or csuf == 0 or cpref == 0:
             break
-        n_new = max(g._bucket_size(cnt), g._COMPACT_FLOOR)
+        n_new = g._ladder_size(cnt)
         if n_new < n_loc:
             t0 = time.time()
             compact_fn = g._cached("compact", g._build_compact_fn, n_loc, n_new, L, has_n)
-            lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_l, ovl_l = compact_fn(
-                lanes_d, nmask_d, ids, h, p, a_s, a_p, succ_l, ovl_l)
+            (lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p,
+             succ_l, ovl_l) = compact_fn(
+                lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p, succ_l, ovl_l)
             _ = int(jax.device_get(h[0]))
             compact_times += time.time() - t0
             n_loc = n_new

@@ -20,3 +20,8 @@ os.environ["JAX_ENABLE_X64"] = "1"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration tests (multi-process dryruns)")
