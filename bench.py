@@ -31,13 +31,36 @@ BASELINE_LOCAL_MBASES_S = 2.2
 REFERENCE_BITS_PER_BASE = 0.1412  # reference archive on the 200k config
 
 
-def synth_fastq(path, n_reads, read_len, genome_len, seed=0, pair=None):
+def synth_fastq(path, n_reads, read_len, genome_len, seed=0, pair=None,
+                repeats=False):
     """Synthetic WGS-like FASTQ; with `pair`, writes a mate file whose reads
-    are sampled nearby on the genome (insert ~300) for PE benching."""
+    are sampled nearby on the genome (insert ~300) for PE benching.
+
+    With `repeats`, the genome gets realistic repeat structure instead of
+    uniform randomness: ~45% of it is built from a 300 bp ALU-like element
+    and a 6 kb LINE-like element re-inserted many times at 5-15% divergence,
+    plus short tandem repeats — the regime that stresses k-mer bucket
+    truncation, the rescue pass, and pg self-matching (VERDICT r3 #6)."""
     from pgrc_tpu.utils import dna
 
     rng = np.random.default_rng(seed)
     genome = rng.integers(0, 4, size=genome_len, dtype=np.uint8)
+    if repeats:
+        def insert(elem, copies, divergence):
+            for _ in range(copies):
+                e = elem.copy()
+                mut = rng.random(e.size) < divergence
+                e[mut] = (e[mut] + rng.integers(1, 4, size=int(mut.sum()))) % 4
+                at = rng.integers(0, genome_len - e.size)
+                genome[at : at + e.size] = e
+
+        alu = rng.integers(0, 4, size=300, dtype=np.uint8)
+        line = rng.integers(0, 4, size=6000, dtype=np.uint8)
+        insert(alu, max(genome_len // 1000, 4), 0.10)    # ~30% ALU-like
+        insert(line, max(genome_len // 50_000, 2), 0.05)  # ~12% LINE-like
+        tandem = np.tile(rng.integers(0, 4, size=4, dtype=np.uint8),
+                         rng.integers(20, 80))
+        insert(tandem, max(genome_len // 40_000, 2), 0.02)
     starts = rng.integers(0, genome_len - read_len, size=n_reads)
 
     def make(starts, path):
@@ -153,25 +176,63 @@ def main():
     extra["se_ord_mbases_s"] = round(bases / 1e6 / odt, 3)
     extra["se_ord_bits_per_base"] = round(ostats.archive_bytes * 8 / bases, 4)
 
-    # --- scaling row (10x reads): encode + decode throughput must hold ---
-    if n_scale > n_reads:
-        src_s = os.path.join(tmpdir, f"bench_{n_scale}.fastq")
+    # --- repeat-structured data row (realistic repeat landscape; stresses
+    # bucket truncation / rescue / pg self-matching in ways uniform-random
+    # genomes never do) ---
+    rep_src = os.path.join(tmpdir, f"bench_rep_{n_reads}.fastq")
+    if not os.path.exists(rep_src):
+        synth_fastq(rep_src, n_reads, read_len,
+                    max(n_reads * read_len // 40, 200_000), seed=11,
+                    repeats=True)
+    rep_out = os.path.join(tmpdir, "bench_rep.pgtc")
+    rstats, rdt = _encode(encoder, PgRCParams, rep_src, rep_out)
+    if decoder.validate(rep_out, rep_src)["errors"]:
+        return fail("repeat-data round-trip failed")
+    extra["repeat_mbases_s"] = round(bases / 1e6 / rdt, 3)
+    extra["repeat_bits_per_base"] = round(rstats.archive_bytes * 8 / bases, 4)
+    extra["repeat_matched_frac"] = round(
+        rstats.matched_count
+        / max(rstats.reads_total - rstats.hq_count + rstats.matched_count, 1), 4)
+
+    # --- scaling rows (10x and optionally 50x reads): encode twice — the
+    # first pass pays one-time XLA compiles for any shapes this machine has
+    # never seen (persisted to the compilation cache), the second measures
+    # steady-state throughput. Both are reported; the gate below holds the
+    # WARM number, since compile cost is a per-machine constant while encode
+    # cost scales with input (the reference's analog: its first run also
+    # pays one-time OS page-cache/index warmup, just far less of it). ---
+    for label, n_s in (("scale", n_scale),
+                       ("scale2", int(os.environ.get("PGRC_BENCH_SCALE2_READS", 0)))):
+        if n_s <= n_reads:
+            continue
+        src_s = os.path.join(tmpdir, f"bench_{n_s}.fastq")
         if not os.path.exists(src_s):
-            synth_fastq(src_s, n_scale, read_len,
-                        max(n_scale * read_len // 40, 200_000), seed=9)
+            synth_fastq(src_s, n_s, read_len,
+                        max(n_s * read_len // 40, 200_000), seed=9)
         out_s = os.path.join(tmpdir, "bench_scale.pgtc")
+        _, cold_dt = _encode(encoder, PgRCParams, src_s, out_s)
         sstats, sdt = _encode(encoder, PgRCParams, src_s, out_s)
         s_bases = sstats.reads_total * sstats.read_len
         t0 = time.time()
         decoder.decode_to_files(out_s, os.path.join(tmpdir, "bench_scale_dec"))
         s_dec = time.time() - t0
-        extra["scale_reads"] = n_scale
-        extra["scale_mbases_s"] = round(s_bases / 1e6 / sdt, 3)
-        extra["scale_bits_per_base"] = round(sstats.archive_bytes * 8 / s_bases, 4)
-        extra["scale_decomp_mbases_s"] = round(s_bases / 1e6 / s_dec, 3)
+        extra[f"{label}_reads"] = n_s
+        extra[f"{label}_mbases_s"] = round(s_bases / 1e6 / sdt, 3)
+        extra[f"{label}_cold_mbases_s"] = round(s_bases / 1e6 / cold_dt, 3)
+        extra[f"{label}_bits_per_base"] = round(sstats.archive_bytes * 8 / s_bases, 4)
+        extra[f"{label}_decomp_mbases_s"] = round(s_bases / 1e6 / s_dec, 3)
 
     extra["peak_rss_mb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+
+    # throughput-scaling gate: large inputs must not fall behind the 200k
+    # point (the r3 scale collapse shipped without tripping any gate)
+    if "scale_mbases_s" in extra and extra["scale_mbases_s"] < 0.8 * mbases_s:
+        return fail(f"scale throughput {extra['scale_mbases_s']} fell below "
+                    f"0.8x the {n_reads}-read point ({mbases_s:.2f})")
+    # memory gate: bounded-memory operation at scale (VERDICT r3 #2)
+    if extra["peak_rss_mb"] > 6144 and n_scale <= 2_000_000:
+        return fail(f"peak RSS {extra['peak_rss_mb']} MB exceeds 6 GB budget")
 
     baseline = read_baseline()
     result = {

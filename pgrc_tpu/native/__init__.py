@@ -108,6 +108,10 @@ def get_lib():
         lib.fastq_parse_mt.restype = ctypes.c_int64
         lib.fastq_parse_mt.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                        i64p, u8p, u8p]
+        lib.fastq_parse_div_mt.restype = ctypes.c_int64
+        lib.fastq_parse_div_mt.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i64p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, u8p, u8p, u8p, i64p]
         lib.lines_parse.restype = ctypes.c_int64
         lib.lines_parse.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64,
                                     i64p, u8p]
@@ -154,6 +158,48 @@ def fastq_parse(buf: bytes):
     if n < 0:
         return None
     return codes[:n].copy(), qual[:n].copy()
+
+
+def fastq_parse_div_into(buf, read_len: int, qcol: int, final_win: bool,
+                         codes, hq_flag, n_flag, row_off: int,
+                         revcomp: bool = False, row_step: int = 1):
+    """Windowed FASTQ parse + stage-1 division INTO preallocated arrays
+    (codes [cap, L] u8, hq_flag/n_flag [cap] u8), writing read r to codes
+    row `row_off + r * row_step` (row_step=2 fills one parity of a
+    pair-interleaved matrix directly) and flags to `hq/n[row_off_flag + r]`
+    where the flag arrays are indexed densely from row_off // row_step.
+    With revcomp, reads are written reverse-complemented (fused).
+
+    Returns (n_parsed, bytes_consumed) or None when native is unavailable.
+    With final_win=False a trailing partial record is left unconsumed for
+    the caller to carry into the next window."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(buf)
+    if n == 0:
+        return 0, 0
+    bview = np.frombuffer(buf, dtype=np.uint8)
+    L = codes.shape[1]
+    rl = ctypes.c_int64(read_len)
+    consumed = ctypes.c_int64(0)
+    cap = (codes.shape[0] - row_off + row_step - 1) // row_step
+    flag_off = row_off // row_step
+    base = codes.ctypes.data + row_off * codes.strides[0]
+    r = lib.fastq_parse_div_mt(
+        _u8p(bview), n, cap, ctypes.byref(rl), qcol,
+        1 if final_win else 0, 1 if revcomp else 0,
+        row_step * codes.strides[0],
+        ctypes.cast(base, ctypes.POINTER(ctypes.c_uint8)),
+        hq_flag[flag_off:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n_flag[flag_off:].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(consumed),
+    )
+    if r < 0:
+        return None
+    return int(r), int(consumed.value)
 
 
 def lines_parse(buf: bytes, read_len: int = 0):

@@ -169,21 +169,28 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
     succ/ovl arrays (original read-id space) once per segment, so the host
     can shrink the local table between segments without remapping anything.
 
-    Each round is ONE kv-sort: active prefixes and suffixes become 2n
-    entries keyed by (64-bit rolling hash, side|global-id); inside each
-    equal-hash group prefixes sort before suffixes (both by global id) and
-    the k-th suffix pairs with the k-th prefix — the segmented ranks come
-    from cumulative min/max scans over the sorted keys, all elementwise.
+    Each round is THREE kv-sorts and zero gathers/scatters (v1.4; measured
+    on this chip a 1M-element random gather costs ~11 ms while a 524k-entry
+    multi-operand sort costs ~1 ms, so every gather/scatter is converted
+    into a sort + elementwise shift):
+
+      sort 1  (hash, side|gid)            — groups equal-hash entries,
+              prefixes before suffixes, each side ordered by global id;
+              segmented SCANS then give every entry its in-group rank.
+      sort 2  (hash, rank*2+side)         — makes each suffix ADJACENT to
+              its rank-partner prefix, so partner gid / confirm-hash come
+              from an elementwise shift instead of a gather.
+      sort 3  (side*n+row)                — returns per-entry results to
+              canonical row order, so the row-state update is a slice+OR
+              instead of a scatter.
+
     Candidate pairs are CONFIRMED by equality of an independent second
-    64-bit rolling hash carried through the sort as a payload (v1.4: this
-    replaced the per-round exact packed-lane verify, whose two [n, W]
-    gathers dominated round cost at scale — a pair is accepted only when
-    two independent polynomial hashes both match, and the final links get
-    one exact host-side verification after the rounds, so a double
-    collision can still only cost a dropped link, never a wrong byte).
-    All per-round scatters are 32-bit (one u32 scatter carries both the
-    candidate id and the claimed bit; the TPU's emulated 64-bit scatter
-    path is ~6x slower).
+    64-bit rolling hash carried through the sorts as a payload (replacing
+    the per-round exact packed-lane verify, whose [n, W] gathers dominated
+    round cost — a pair is accepted only when two independent polynomial
+    hashes both match, and the final links get one exact host-side
+    verification after the rounds, so a double collision can still only
+    cost a dropped link, never a wrong byte).
 
     A read whose suffix equals its own prefix is never linked to itself;
     its prefix is still consumed that round (a conservative, deterministic
@@ -236,82 +243,97 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
             h, p, h2, p2, active_s, active_p, succ_l, ovl_l = args
             gid_u = ids.astype(jnp.uint32)
             # --- 2n entries: prefixes first inside an equal-hash group,
-            # each side ordered by global id (deterministic ranks) ---
+            # each side ordered by global id (deterministic ranks). orig =
+            # side * n_glob + row-identity is the canonical row order that
+            # sort 3 restores (rows are global ids under mesh, so the same
+            # expression works sharded) ---
+            n_tot = n_glob if axis else n
             k1 = jnp.concatenate([jnp.where(active_p, p, INV64),
                                   jnp.where(active_s, h, INV64)])
             k2 = jnp.concatenate([
                 jnp.where(active_p, gid_u, INV32),
                 jnp.where(active_s, gid_u | jnp.uint32(0x80000000), INV32),
             ])
-            pay = jnp.concatenate([rows, rows])  # local row of each entry
+            orig = jnp.concatenate([rows, rows + jnp.int32(n_tot)])
             v2 = jnp.concatenate([p2, h2])       # confirm hash per entry
             if axis:
                 k1 = jax.lax.all_gather(k1, axis, tiled=True)
                 k2 = jax.lax.all_gather(k2, axis, tiled=True)
-                pay = jax.lax.all_gather(pay, axis, tiled=True)
+                orig = jax.lax.all_gather(orig, axis, tiled=True)
                 v2 = jax.lax.all_gather(v2, axis, tiled=True)
-            k1s, k2s, prs, v2s = jax.lax.sort((k1, k2, pay, v2), num_keys=2,
-                                              is_stable=False)
+            k1s, k2s, origs, v2s = jax.lax.sort((k1, k2, orig, v2),
+                                                num_keys=2, is_stable=False)
 
             idx = jnp.arange(m, dtype=jnp.int32)
             valid = k2s != INV32
             side_suf = (k2s & jnp.uint32(0x80000000)) != 0
-            gid_s = (k2s & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
             same_prev = jnp.concatenate(
                 [jnp.zeros(1, jnp.bool_), k1s[1:] == k1s[:-1]])
             boundary = valid & ~same_prev
             is_suf = valid & side_suf
-            is_pref = valid & ~side_suf
             # segmented ranks via scans: seg_start = my group's first entry,
-            # fs = my group's first suffix (backward-looking for suffixes,
-            # forward-looking for prefixes), seg_end = next group boundary
+            # fs_bwd = my group's first suffix (suffix ranks count from it,
+            # prefix ranks from seg_start)
             seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
             prev_is_suf = jnp.concatenate(
                 [jnp.zeros(1, jnp.bool_), is_suf[:-1]])
             first_suf = is_suf & (~prev_is_suf | boundary)
             fs_bwd = jax.lax.cummax(jnp.where(first_suf, idx, -1))
-            nb = jax.lax.cummin(jnp.where(boundary, idx, BIGI), reverse=True)
-            seg_end = jnp.minimum(
-                jnp.concatenate([nb[1:], jnp.full(1, BIGI, jnp.int32)]),
-                jnp.int32(m))
-            fs_fwd = jax.lax.cummin(jnp.where(first_suf, idx, BIGI),
-                                    reverse=True)
-            # suffix at in-group suffix-rank r pairs the prefix at rank r
-            r = idx - fs_bwd
-            n_pref_seg = fs_bwd - seg_start
-            partner_pos = seg_start + r
-            paired = is_suf & (fs_bwd >= 0) & (r < n_pref_seg)
-            pidx = jnp.clip(partner_pos, 0, m - 1)
-            pk2 = jnp.take(k2s, pidx)
-            partner_gid = (pk2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
-            # second-hash confirmation: partner's prefix confirm-hash must
-            # equal this suffix's confirm-hash (one [m] u64 gather — the
-            # only gather in the round besides pk2)
-            pv2 = jnp.take(v2s, pidx)
-            suf_ok = paired & (partner_gid != gid_s) & (pv2 == v2s)
-            # prefix side: claimed iff rank < number of suffixes in group
-            n_suf_seg = seg_end - jnp.minimum(fs_fwd, seg_end)
-            claimed = is_pref & ((idx - seg_start) < n_suf_seg)
-
-            # --- one u32 scatter back to row space: candidate id in bits
-            # 0..30 (as gid+1), claimed flag in bit 31 (each row receives at
-            # most one suffix and one prefix contribution — disjoint bits)
-            contributes = suf_ok | claimed
-            val = (jnp.where(suf_ok, partner_gid.astype(jnp.uint32)
-                             + jnp.uint32(1), jnp.uint32(0))
-                   | jnp.where(claimed, jnp.uint32(0x80000000), jnp.uint32(0)))
+            rank = jnp.where(is_suf, idx - jnp.maximum(fs_bwd, 0),
+                             idx - seg_start)
+            # sort 2: (hash, rank*2+side) puts each suffix immediately after
+            # its rank-partner prefix — partner attributes become shifts.
+            # payload packs (side|gid, orig) into one u64
+            skey = jnp.where(
+                valid,
+                (rank.astype(jnp.uint32) << 1)
+                | jnp.where(side_suf & (fs_bwd >= 0), jnp.uint32(1),
+                            jnp.uint32(0)),
+                INV32)
+            skey = jnp.where(is_suf & (fs_bwd < 0), INV32 - jnp.uint32(1),
+                             skey)  # suffix group with no suffix start: inert
+            pay = (k2s.astype(jnp.uint64) << jnp.uint64(32)) \
+                | origs.astype(jnp.uint32).astype(jnp.uint64)
+            k1t, skeyt, payt, v2t = jax.lax.sort((k1s, skey, pay, v2s),
+                                                 num_keys=2, is_stable=False)
+            k2t = (payt >> jnp.uint64(32)).astype(jnp.uint32)
+            origt = (payt & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).astype(jnp.int32)
+            valid_t = k2t != INV32
+            gid_t = (k2t & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            is_suf_t = valid_t & ((skeyt & jnp.uint32(1)) == 1)
+            is_pref_t = valid_t & ((skeyt & jnp.uint32(1)) == 0)
+            prev = lambda x, fill: jnp.concatenate([jnp.full(1, fill, x.dtype), x[:-1]])
+            nxt = lambda x, fill: jnp.concatenate([x[1:], jnp.full(1, fill, x.dtype)])
+            # suffix: previous entry is its rank-partner prefix
+            prev_partner = (prev(k1t, INV64) == k1t) \
+                & (prev(skeyt, INV32) == skeyt - jnp.uint32(1)) \
+                & prev(valid_t, False)
+            suf_ok = is_suf_t & prev_partner \
+                & (prev(gid_t, -1) != gid_t) \
+                & (prev(v2t, jnp.uint64(0)) == v2t)
+            # prefix: claimed iff a suffix of the same rank exists (it sorts
+            # immediately after), independent of that pair's verification —
+            # the conservative over-claim of the gather design, preserved
+            claimed_t = is_pref_t & (nxt(k1t, INV64) == k1t) \
+                & (nxt(skeyt, INV32) == skeyt + jnp.uint32(1))
+            val_t = jnp.where(suf_ok,
+                              prev(gid_t, -1).astype(jnp.uint32) + jnp.uint32(1),
+                              jnp.uint32(0)) \
+                | jnp.where(claimed_t, jnp.uint32(0x80000000), jnp.uint32(0))
+            # sort 3: canonical row order; the row update is a slice + OR
+            orig3, val3 = jax.lax.sort((origt, val_t), num_keys=1,
+                                       is_stable=False)
             if axis:
-                # only entries of MY rows scatter locally (payload carries
-                # the global id in mesh mode; rows are block-sharded)
                 my_lo = jax.lax.axis_index(axis) * n
-                mine = (prs >= my_lo) & (prs < my_lo + n)
-                target = jnp.where(contributes & mine, prs - my_lo, n)
+                val_pref = jax.lax.dynamic_slice_in_dim(val3, my_lo, n)
+                val_suf = jax.lax.dynamic_slice_in_dim(
+                    val3, jnp.int32(n_tot) + my_lo, n)
             else:
-                target = jnp.where(contributes, prs, n)
-            rowv = jnp.zeros((n,), jnp.uint32).at[target].add(val, mode="drop")
+                val_pref = val3[:n]
+                val_suf = val3[n : 2 * n]
 
-            cand = (rowv & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) - 1
-            claimed_row = (rowv & jnp.uint32(0x80000000)) != 0
+            cand = (val_suf & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) - 1
+            claimed_row = (val_pref & jnp.uint32(0x80000000)) != 0
             matched = cand >= 0
 
             # --- pending links: elementwise row-state merge (no scatter);
@@ -385,31 +407,22 @@ def _build_init_fn(n: int, L: int, has_n: bool):
     (GreedySwipingPacked...cpp:97-136's equal-neighbor dedup) at full size.
     Emits links directly in global id space (ids are the identity here)."""
     jax, jnp = _jax()
-    pows = _pow_table64(L)
-    pows_b = _pow_table64(L, HASH_BASE64B)
     W, Wn = _lane_dims(L)
     INVALID64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def init_fn(lanes, nmask, nreal):
-        # unpack symbol values once (one-time [n, L] intermediate) for h0
-        sh = jnp.arange(15, -1, -1, dtype=jnp.uint32) * jnp.uint32(2)
-        c = ((lanes[:, :W, None] >> sh[None, None, :]) & jnp.uint32(3)).reshape(
-            n, W * 16
-        )[:, :L]
-        if has_n:
-            shn = jnp.arange(31, -1, -1, dtype=jnp.uint32)
-            nb = ((nmask[:, :Wn, None] >> shn[None, None, :]) & jnp.uint32(1)).reshape(
-                n, Wn * 32
-            )[:, :L]
-            c = c + (nb << jnp.uint32(2))
-        # h0[r] = sum_j v[r,j] * B^(L-1-j); uint64 accumulate == mod-2^64
-        c64 = c.astype(jnp.uint64)
-        h0 = (c64 * jnp.asarray(pows[L - 1 :: -1][: L].copy())[None, :]).sum(
-            axis=1, dtype=jnp.uint64
-        )
-        h0b = (c64 * jnp.asarray(pows_b[L - 1 :: -1][: L].copy())[None, :]).sum(
-            axis=1, dtype=jnp.uint64
-        )
+        # h0[r] = sum_j v[r,j] * B^(L-1-j) by Horner over columns — a
+        # fori_loop of [n] elementwise steps keeps the program tiny (the
+        # unpack-to-[n, L] + reduce formulation compiled for minutes on the
+        # TPU backend)
+        def horner(t, c):
+            ha, hb = c
+            v = _col_vals(jax, jnp, lanes, nmask, jnp.int32(t), has_n
+                          ).astype(jnp.uint64)
+            return (ha * HASH_BASE64 + v, hb * HASH_BASE64B + v)
+
+        z = jnp.zeros((n,), jnp.uint64)
+        h0, h0b = jax.lax.fori_loop(0, L, horner, (z, z))
         idx = jnp.arange(n, dtype=jnp.int32)
         real = idx < nreal
         ks = jnp.where(real, jnp.minimum(h0, INVALID64 - np.uint64(1)),

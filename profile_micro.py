@@ -151,10 +151,17 @@ for rep in ("warm", "meas"):
     res2 = timed_find_overlaps(hq2, 1.0)
     print(f"  TOTAL {time.time()-t0:.3f}s", flush=True)
 t0 = time.time()
-g.remove_cycles(res2)
-layout = g.layout_chains(res2)
-pg = g.assemble_pg(hq2, layout)
-print(f"host cycle+layout+assemble {time.time()-t0:.3f}s pg={pg.size}")
+from pgrc_tpu import native as _native
+
+fast = _native.chain_walk_assemble(res2.succ, res2.overlap, hq2)
+if fast is not None:
+    pos_, order_, pg = fast
+    print(f"host chainwalk (native) {time.time()-t0:.3f}s pg={pg.size}")
+else:
+    g.remove_cycles(res2)
+    layout = g.layout_chains(res2)
+    pg = g.assemble_pg(hq2, layout)
+    print(f"host cycle+layout+assemble (numpy) {time.time()-t0:.3f}s pg={pg.size}")
 
 # ---------------------------------------------------------------------------
 # stage 4 internals: per-pass timing
