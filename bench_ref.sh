@@ -22,13 +22,20 @@ tmp = os.environ.get("PGRC_BENCH_TMP", "/tmp/pgrc_bench")
 bench.synth_fastq(os.path.join(tmp, f"bench_{n}.fastq"), n, 100, max(n*100//40, 200000), seed=7)
 EOF
 fi
-START=$(python -c 'import time; print(time.time())')
-./build-ref/PgRC -t 8 -i "$SRC" "$TMP/ref.pgrc"
-END=$(python -c 'import time; print(time.time())')
+# median of 3 runs: a single sample is hostage to transient load (the r3
+# baseline recorded 3.55 s where an idle machine measures ~1.4 s)
+TIMES=""
+for i in 1 2 3; do
+  START=$(python -c 'import time; print(time.time())')
+  ./build-ref/PgRC -t 8 -i "$SRC" "$TMP/ref.pgrc"
+  END=$(python -c 'import time; print(time.time())')
+  TIMES="$TIMES $(python -c "print($END-$START)")"
+done
 SIZE=$(stat -c %s "$TMP/ref.pgrc")
-N=$N START=$START END=$END SIZE=$SIZE python - <<'EOF'
-import json, os
-n = int(os.environ["N"]); dt = float(os.environ["END"]) - float(os.environ["START"])
+N=$N TIMES="$TIMES" SIZE=$SIZE python - <<'EOF'
+import json, os, statistics
+n = int(os.environ["N"]); dt = statistics.median(
+    float(x) for x in os.environ["TIMES"].split())
 size = int(os.environ["SIZE"]); bases = n * 100
 rec = {"mbases_per_s": round(bases / 1e6 / dt, 3), "seconds": round(dt, 3),
        "archive_bytes": size, "reads": n,

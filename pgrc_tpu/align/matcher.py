@@ -4,18 +4,26 @@ Replaces CopMEMMatcher + CopMEMReadsApproxMatcher (matching/copmem/
 CopMEMMatcher.cpp:139-324 index build, :483-566 probe+verify loop;
 matching/ReadsMatchers.cpp:421-451 OMP read loop) with:
 
-  * a CSR sampled k-mer index over the pg (positions every k1, rolling
-    polynomial hash -> top `hash_bits` bits bucket id), built vectorized;
-  * a statically-shaped device probe program: reads live as packed 2-bit
-    u32 lanes; probe hashes are computed ON DEVICE from the lanes (rolling
-    prefix-sum hash), candidate positions are gathered from the CSR index,
-    and every candidate is verified with cross-lane-shift XOR + popcount
-    against the packed pg — all state is 32-bit (no emulated 64-bit ints);
+  * a SORTED sampled k-mer index over the pg (positions every k1, full
+    32-bit rolling polynomial hash), built vectorized on the host;
+  * a statically-shaped SORT-MERGE probe program (v2): reads live as
+    packed 2-bit u32 lanes; probe anchor hashes are computed ON DEVICE
+    from the lanes, then index entries and probe entries are kv-sorted
+    together by hash — each probe's candidate (the minimum-position index
+    entry with an EXACTLY equal 32-bit hash) comes from a segmented
+    cummax carry, and results route back to read-major order with one
+    more cheap sort. On this chip a 1M-element random gather costs
+    ~11 ms while a 1M-entry multi-operand sort costs ~2 ms, so the
+    merge-join replaces every CSR bucket gather of the v1 design;
+  * only CONFIRMED candidates are verified (cross-lane-shift XOR +
+    popcount against the packed pg), on rows aligned with the read-lane
+    matrix so the read side needs no gather at all;
   * forward-first two-phase probing (the reference's fwd pass then
     RC-improve-only, ReadsMatchers.cpp:162-184): pass 1 probes every read
-    forward at k1 residue-covering spread offsets; only the leftovers probe
-    both strands at the full fan-out. RC wins only with strictly fewer
-    mismatches;
+    forward at k1 residue-covering spread offsets and verifies the first
+    confirmed anchor; only the leftovers probe both strands at the full
+    fan-out with a multi-candidate verify. RC wins only with strictly
+    fewer mismatches;
   * a deterministic (mismatches, then position) two-step min reduction
     replaces the reference's benign OMP race on best-match updates.
 """
@@ -37,13 +45,15 @@ NOT_MATCHED = np.uint8(255)
 
 @dataclass
 class KmerIndex:
-    starts: np.ndarray      # [2^bits + 1] int64 CSR bucket starts
-    positions: np.ndarray   # [P] int64 pg positions (sampled, truncated)
-    pos_hash: np.ndarray    # [P] uint32 full k-mer hash of each position
+    hash_sorted: np.ndarray  # [P] uint32 full k-mer hashes, ascending
+    pos_sorted: np.ndarray   # [P] int64 pg position of each entry
     k: int
     k1: int
-    bits: int
     pg_len: int
+
+    @property
+    def positions(self) -> np.ndarray:  # back-compat introspection
+        return self.pos_sorted
 
 
 def _window_hashes(codes: np.ndarray, k: int) -> np.ndarray:
@@ -71,74 +81,71 @@ def build_index(
     pg_codes: np.ndarray,
     k: int = DEFAULT_K,
     k1: int = DEFAULT_K1,
-    bits: int = 22,
-    max_bucket: int = 48,
+    bits: int | None = None,      # accepted for back-compat; unused (v2)
+    max_bucket: int | None = None,
 ) -> KmerIndex:
-    """Sampled CSR k-mer index of the pg (host-vectorized build)."""
+    """Sampled sorted k-mer index of the pg (host-vectorized build).
+
+    v2: a plain (hash, position) table sorted by hash — the probe is a
+    sort-merge join, so no CSR buckets and no bucket truncation (a
+    repetitive pg's long equal-hash runs cost the join nothing; the
+    reference's collision limits, CopMEMMatcher.h:11-13, existed to bound
+    its per-read bucket scans)."""
     n = pg_codes.shape[0]
     if n < k:
-        return KmerIndex(
-            starts=np.zeros((1 << bits) + 1, dtype=np.int64),
-            positions=np.zeros(0, dtype=np.int64),
-            pos_hash=np.zeros(0, dtype=np.uint32),
-            k=k, k1=k1, bits=bits, pg_len=n,
-        )
+        return KmerIndex(hash_sorted=np.zeros(0, dtype=np.uint32),
+                         pos_sorted=np.zeros(0, dtype=np.int64),
+                         k=k, k1=k1, pg_len=n)
     hashes = _window_hashes(pg_codes, k)
     sampled = np.arange(0, n - k + 1, k1, dtype=np.int64)
     hs = hashes[sampled]
-    hb = (hs >> np.uint32(32 - bits)).astype(np.int64)
-    order = np.argsort(hb, kind="stable")
-    hb_sorted = hb[order]
-    pos_sorted = sampled[order]
-    hash_sorted = hs[order]
-    counts = np.bincount(hb_sorted, minlength=1 << bits)
-    # truncate oversized buckets (reference collision limits, CopMEMMatcher.h:11-13)
-    if counts.max(initial=0) > max_bucket:
-        starts_full = np.zeros((1 << bits) + 1, dtype=np.int64)
-        np.cumsum(counts, out=starts_full[1:])
-        rank_in_bucket = np.arange(hb_sorted.size) - starts_full[hb_sorted]
-        # spread the kept positions across the bucket instead of keeping a
-        # prefix: repetitive pgs keep coverage of the whole position range
-        # (the reference's falseMatchCountLimit fallback role)
-        stride = (counts[hb_sorted] + max_bucket - 1) // max_bucket
-        keep = (rank_in_bucket % np.maximum(stride, 1) == 0) & (
-            rank_in_bucket // np.maximum(stride, 1) < max_bucket
-        )
-        pos_sorted = pos_sorted[keep]
-        hash_sorted = hash_sorted[keep]
-        counts = np.bincount(hb_sorted[keep], minlength=1 << bits)
-    starts = np.zeros((1 << bits) + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
-    return KmerIndex(starts=starts, positions=pos_sorted, pos_hash=hash_sorted,
-                     k=k, k1=k1, bits=bits, pg_len=n)
+    order = np.argsort(hs, kind="stable")  # pos ascending within a run
+    return KmerIndex(hash_sorted=hs[order], pos_sorted=sampled[order],
+                     k=k, k1=k1, pg_len=n)
 
 
-def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits: int,
-                pg_lanes_len: int, max_mis: int, wide: bool = False):
-    """Raw (unjitted) device probe: packed read lanes -> (hash, bucket,
-    gather, cross-lane-shift XOR/popcount verify, two-step deterministic
-    min). Per-read independent, so any row partitioning gives identical
-    results — the same function body runs jitted single-device and
-    shard_mapped over a device mesh.
+_POS_BITS = 35          # pos field width in the carry pack (pg <= 2^35)
+_POS_MASK = np.uint64((1 << _POS_BITS) - 1)
 
-    Probe hashes are computed on device from the lanes (one [R, L]
-    unpack + prefix-sum rolling hash), so the host only uploads packed
-    lanes. Everything is u32/i32 in the standard path; `wide` switches
-    positions to i64 for pgs past 2^31 symbols (up to 2^35: lane indexes
-    stay i32) — the TPU analog of the reference's uint_pg_len_max widening
+
+def _make_probe(n_reads: int, L: int, probe_offs: tuple, k: int, i_pad: int,
+                pg_lanes_len: int, max_mis: int, wide: bool = False,
+                n_verify: int = 1):
+    """Raw (unjitted) sort-merge probe (v2).
+
+    One program: on-device anchor hashes from packed lanes -> kv-sort of
+    (index ++ probe) entries by full 32-bit hash -> segmented cummax carry
+    gives every probe its minimum-position EXACT-hash candidate -> one
+    route sort back to read-major order -> confirmed-only verify on rows
+    aligned with the read-lane matrix. No CSR bucket gathers; the only
+    gather left is the pg-window fetch of the verify itself.
+
+    `n_verify` = 1 verifies each read's first confirmed offset (pass 1);
+    > 1 verifies the first n_verify confirmed offsets and takes the
+    deterministic (mismatches, position) minimum (pass 2).
+
+    Per-read independent, so any row partitioning gives identical results —
+    the same body runs jitted single-device and shard_mapped over a mesh.
+    `wide` switches positions to i64 for pgs past 2^31 symbols (up to 2^35)
+    — the TPU analog of the reference's uint_pg_len_max widening
     (pg-config.h:39-44, CopMEMMatcher.cpp:579-590)."""
     jax, jnp = _jax()
     W = (L + 15) // 16
+    S = len(probe_offs)
+    P = n_reads * S
+    m2 = i_pad + P
+    if m2 >= (1 << 29):
+        raise NotImplementedError("probe batch exceeds 2^29 join entries")
     pos_t = jnp.int64 if wide else jnp.int32
     big_pos = np.int64(0x7FFFFFFFFFFFFFFF) if wide else np.int32(0x7FFFFFFF)
-    n_probes = len(probe_offs)
     probe_off_np = np.asarray(probe_offs, dtype=np.int32)
+    U32INV = np.uint32(0xFFFFFFFF)
 
     # constants (numpy, embedded at lowering)
     inv_pows = np.full(L, np.uint32(HASH_BASE_INV), dtype=np.uint32)
     inv_pows[0] = 1
     np.cumprod(inv_pows, out=inv_pows)
-    mult = np.zeros(len(probe_offs), dtype=np.uint32)
+    mult = np.zeros(S, dtype=np.uint32)
     for si, o in enumerate(probe_offs):
         mult[si] = np.uint32(pow(int(HASH_BASE), o + k - 1, 1 << 32))
     # tail mask for the last read lane
@@ -147,7 +154,24 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
     if tail < packed.SYMS_PER_LANE:
         lane_mask[W - 1] = np.uint32((0xFFFFFFFF << (32 - 2 * tail)) & 0xFFFFFFFF)
 
-    def probe_fn(read_lanes, starts, positions, pos_hash, pg_lanes, pg_len):
+    def _verify(read_lanes_b, start_c, pg_lanes):
+        """Packed mismatch count of pg windows at start_c [...] against
+        read lanes broadcast over the same leading dims."""
+        q = (start_c >> 4).astype(jnp.int32)
+        s2 = ((start_c & 15) << 1).astype(jnp.uint32)
+        lane_ids = q[..., None] + jnp.arange(W + 1, dtype=jnp.int32)
+        lane_ids = jnp.clip(lane_ids, 0, pg_lanes_len - 1)
+        tl = jnp.take(pg_lanes, lane_ids)            # [..., W+1] u32
+        s2e = s2[..., None]
+        hi = tl[..., :W] << s2e
+        lo_part = jnp.where(s2e > 0, tl[..., 1 : W + 1] >> (jnp.uint32(32) - s2e),
+                            jnp.uint32(0))
+        aligned = (hi | lo_part) & jnp.asarray(lane_mask)
+        x = aligned ^ (read_lanes_b & jnp.asarray(lane_mask))
+        y = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
+        return packed.popcount_u32(y).sum(axis=-1)
+
+    def probe_fn(read_lanes, ihash, ipos, pg_lanes, pg_len):
         # --- on-device probe hashes from packed lanes ---
         sh = jnp.arange(15, -1, -1, dtype=jnp.uint32) * jnp.uint32(2)
         v = ((read_lanes[:, :W, None] >> sh[None, None, :]) & jnp.uint32(3)).reshape(
@@ -162,49 +186,71 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
         hashes = (jnp.take(s, offs + k, axis=1) - jnp.take(s, offs, axis=1)) * \
             jnp.asarray(mult)[None, :]                      # [R, S]
 
-        bid = (hashes >> jnp.uint32(32 - bits)).astype(jnp.int32)
-        lo = jnp.take(starts, bid)          # [R, S]
-        cnt = jnp.take(starts, bid + 1) - lo
-        cslot = jnp.arange(cap, dtype=jnp.int32)
-        cand_idx = lo[:, :, None] + cslot[None, None, :]
-        cand_valid = cslot[None, None, :] < cnt[:, :, None]
-        cand_idx = jnp.clip(cand_idx, 0, positions.shape[0] - 1)
-        text_pos = jnp.take(positions, cand_idx)      # [R, S, C] sampled pg pos
-        cand_hash = jnp.take(pos_hash, cand_idx)      # [R, S, C] u32
-        start_pos = text_pos - offs[None, :, None].astype(pos_t)
-        in_range = (start_pos >= 0) & (start_pos <= pg_len - L) & cand_valid
-        # --- hash confirmation: only the FIRST candidate whose full 32-bit
-        # k-mer hash equals the probe hash survives to the verify — the
-        # anchor k-mer then matches exactly (up to a 2^-32 collision, which
-        # the verify turns into a merely bad candidate). One verified
-        # window per (read, offset) instead of `cap`: 4-8x fewer gathered
-        # verify elements than verifying every bucket slot (the cost model
-        # on this chip is per gathered element). Reference verifies each
-        # bucket slot serially with early exit (CopMEMMatcher.cpp:523-547).
-        ok_c = in_range & (cand_hash == hashes[:, :, None])
-        pick = jnp.argmax(ok_c, axis=-1)              # first True (or 0)
-        has = ok_c.any(axis=-1)                       # [R, S]
-        start_rs = jnp.take_along_axis(start_pos, pick[..., None], axis=-1)[..., 0]
-        start_c = jnp.clip(start_rs, 0,
-                           jnp.maximum(pg_len - L, 0).astype(pos_t))
+        # --- sort-merge join: index entries sort before the probes of
+        # their equal-hash run; a segmented cummax carry hands each probe
+        # the minimum-position index entry of its run ---
+        kh = jnp.concatenate([ihash, hashes.reshape(P)])
+        key2 = jnp.concatenate([
+            jnp.where(ipos >= 0, jnp.uint32(0), U32INV),    # pads -> inert
+            jnp.arange(1, P + 1, dtype=jnp.uint32),
+        ])
+        pay = jnp.concatenate([
+            jnp.maximum(ipos, 0).astype(jnp.uint64),
+            jnp.zeros((P,), jnp.uint64),
+        ])
+        khs, k2s, pays = jax.lax.sort((kh, key2, pay), num_keys=2,
+                                      is_stable=False)
+        idx = jnp.arange(m2, dtype=jnp.int32)
+        boundary = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), khs[1:] != khs[:-1]])
+        seg_start = jax.lax.cummax(jnp.where(boundary, idx, 0))
+        is_index = k2s == 0
+        # pack (seg_start, inverted pos): the max carries the latest run's
+        # minimum position; a probe confirms iff the carried run is its own
+        packv = jnp.where(
+            is_index,
+            (seg_start.astype(jnp.uint64) << jnp.uint64(_POS_BITS))
+            | (jnp.uint64(_POS_MASK) - pays),
+            jnp.uint64(0))
+        carried = jax.lax.cummax(packv)
+        cseg = (carried >> jnp.uint64(_POS_BITS)).astype(jnp.int32)
+        cpos = (jnp.uint64(_POS_MASK) - (carried & jnp.uint64(_POS_MASK)))
+        confirmed = (carried != 0) & (cseg == seg_start)
+        is_probe = (k2s >= 1) & (k2s != U32INV)
+        # --- route results back to probe-ordinal order (one cheap sort) ---
+        route = jnp.where(is_probe, k2s - jnp.uint32(1), U32INV)
+        res = jnp.where(is_probe & confirmed, cpos + jnp.uint64(1),
+                        jnp.uint64(0))
+        _, res_s = jax.lax.sort((route, res), num_keys=1, is_stable=False)
+        res_rs = res_s[:P].reshape(n_reads, S)
+        has0 = res_rs > 0
+        anchor_pos = (res_rs - jnp.uint64(1)).astype(pos_t)
+        start_all = anchor_pos - offs[None, :].astype(pos_t)
+        in_range = has0 & (start_all >= 0) & (start_all <= pg_len - L)
+        pg_top = jnp.maximum(pg_len - L, 0).astype(pos_t)
 
-        # --- packed verify: align pg lanes to the read lane grid (u32) ---
-        q = (start_c >> 4).astype(jnp.int32)          # u32-lane index [R, S]
-        s2 = ((start_c & 15) << 1).astype(jnp.uint32)  # bit shift in lane
-        lane_ids = q[..., None] + jnp.arange(W + 1, dtype=jnp.int32)[None, None, :]
-        lane_ids = jnp.clip(lane_ids, 0, pg_lanes_len - 1)
-        tl = jnp.take(pg_lanes, lane_ids)             # [R, S, W+1] u32
-        s2e = s2[..., None]
-        hi = tl[..., :W] << s2e
-        lo_part = jnp.where(s2e > 0, tl[..., 1 : W + 1] >> (jnp.uint32(32) - s2e), jnp.uint32(0))
-        aligned = (hi | lo_part) & jnp.asarray(lane_mask)[None, None, :]
-        x = aligned ^ (read_lanes[:, None, :W] & jnp.asarray(lane_mask)[None, None, :])
-        y = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
-        mis = packed.popcount_u32(y).sum(axis=-1)     # [R, S] i32
-        mis = jnp.where(has, mis, jnp.int32(255))
+        if n_verify == 1:
+            # verify the first confirmed offset per read, rows aligned
+            pick = jnp.argmax(in_range, axis=1)
+            has_r = in_range.any(axis=1)
+            st = jnp.take_along_axis(start_all, pick[:, None], axis=1)[:, 0]
+            st_c = jnp.clip(st, 0, pg_top)
+            mis = _verify(read_lanes[:, :W], st_c, pg_lanes)
+            mis = jnp.where(has_r, mis, jnp.int32(255))
+            ok = mis <= max_mis
+            return (jnp.where(ok, mis, 255).astype(jnp.uint8),
+                    jnp.where(ok, st_c, -1).astype(pos_t))
+
+        # verify the first n_verify confirmed offsets per read
+        order = jnp.argsort(~in_range, axis=1, stable=True)[:, :n_verify]
+        hasv = jnp.take_along_axis(in_range, order, axis=1)
+        stv = jnp.take_along_axis(start_all, order, axis=1)
+        stv_c = jnp.clip(stv, 0, pg_top)
+        mis = _verify(read_lanes[:, None, :W], stv_c, pg_lanes)
+        mis = jnp.where(hasv, mis, jnp.int32(255))
         # deterministic best: min mismatches, then min position
         best_mis = mis.min(axis=1)
-        pos_cand = jnp.where(mis == best_mis[:, None], start_c, big_pos)
+        pos_cand = jnp.where(mis == best_mis[:, None], stv_c, big_pos)
         best_pos = pos_cand.min(axis=1)
         ok = best_mis <= max_mis
         return (
@@ -215,23 +261,24 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int, bits:
     return probe_fn
 
 
-def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int,
-                    bits: int, pg_lanes_len: int, max_mis: int, mesh=None,
-                    wide: bool = False):
+def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, k: int,
+                    i_pad: int, pg_lanes_len: int, max_mis: int, mesh=None,
+                    wide: bool = False, n_verify: int = 1):
     """Jitted probe; with `mesh` the read rows are sharded over the "data"
-    axis and the CSR index + packed pg stay replicated (the TPU mapping of
-    the reference's OMP per-read loop, matching/ReadsMatchers.cpp:426-428).
+    axis and the sorted index + packed pg stay replicated — each device
+    runs its own local merge-join against the full index (the TPU mapping
+    of the reference's OMP per-read loop, ReadsMatchers.cpp:426-428).
     Results are identical to the single-device program."""
     jax, _ = _jax()
     if mesh is None:
-        return jax.jit(_make_probe(n_reads, L, probe_offs, cap, k, bits,
-                                   pg_lanes_len, max_mis, wide))
+        return jax.jit(_make_probe(n_reads, L, probe_offs, k, i_pad,
+                                   pg_lanes_len, max_mis, wide, n_verify))
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     D = int(np.prod(mesh.devices.shape))
-    local = _make_probe(n_reads // D, L, probe_offs, cap, k, bits,
-                        pg_lanes_len, max_mis, wide)
+    local = _make_probe(n_reads // D, L, probe_offs, k, i_pad,
+                        pg_lanes_len, max_mis, wide, n_verify)
 
     def local_gathered(*args):
         # replicate the per-shard results so every process of a multi-host
@@ -243,7 +290,7 @@ def _build_probe_fn(n_reads: int, L: int, probe_offs: tuple, cap: int, k: int,
 
     smapped = shard_map(
         local_gathered, mesh=mesh,
-        in_specs=(P("data"), P(), P(), P(), P(), P()),
+        in_specs=(P("data"), P(), P(), P(), P()),
         out_specs=(P(), P()),
         # the all_gather makes the outputs replicated by construction; the
         # varying-manner analysis cannot see that through the tiled gather
@@ -306,14 +353,14 @@ class MatchResult:
     mis: np.ndarray       # [R] uint8 (255 = unmatched)
 
 
-def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
-                 mesh=None, wide=False):
+def _probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows,
+                 mesh=None, wide=False, n_verify=1):
     """Probe a [R, W+1] u32 lane batch in bucketed chunks."""
     jax, jnp = _jax()
     n = rows_lanes.shape[0]
     out_mis = np.full(n, 255, dtype=np.uint8)
     out_pos = np.full(n, -1, dtype=np.int64)
-    starts_d, positions_d, pos_hash_d, pg_lanes_d, pg_lanes_len = dev
+    ihash_d, ipos_d, pg_lanes_d, pg_lanes_len, i_pad = dev
     D = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     if D == 1:
         mesh = None
@@ -321,12 +368,12 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
         hi = min(lo + batch_rows, n)
         bn = hi - lo
         bsz = min(max(_probe_bucket(bn), D), batch_rows)
-        key = (bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis,
-               D, wide)
+        key = (bsz, L, offs, index.k, i_pad, pg_lanes_len, max_mis,
+               D, wide, n_verify)
         if key not in _PROBE_CACHE:
             _PROBE_CACHE[key] = _build_probe_fn(
-                bsz, L, offs, cap, index.k, index.bits, pg_lanes_len, max_mis,
-                mesh=mesh, wide=wide,
+                bsz, L, offs, index.k, i_pad, pg_lanes_len, max_mis,
+                mesh=mesh, wide=wide, n_verify=n_verify,
             )
         probe_fn = _PROBE_CACHE[key]
         lanes = _pad_rows(rows_lanes[lo:hi], bsz)
@@ -334,8 +381,7 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
         # process); single-device commits to the local chip
         lanes_in = lanes if mesh is not None else jnp.asarray(lanes)
         mis, pos = probe_fn(
-            lanes_in, starts_d, positions_d, pos_hash_d, pg_lanes_d,
-            index.pg_len,
+            lanes_in, ihash_d, ipos_d, pg_lanes_d, index.pg_len,
         )
         mis_h, pos_h = jax.device_get((mis, pos))
         out_mis[lo:hi] = mis_h[:bn]
@@ -345,7 +391,7 @@ def _probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows,
 
 def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
                  mesh=None):
-    """Upload the CSR index + packed pg text once per stage.
+    """Upload the sorted index + packed pg text once per stage.
 
     Under a mesh the arrays stay host-side numpy: the jitted shard_map
     places them per its replicated in_specs on every call, which works
@@ -355,17 +401,18 @@ def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
     pg_lanes = packed.pack_text_2bit(pg_codes)
     pg_lanes = _pad_1d(np.concatenate([pg_lanes, np.zeros(1, np.uint32)]),
                        _probe_bucket(len(pg_lanes) + 1))
-    pbucket = _probe_bucket(max(index.positions.size, 1))
-    positions = _pad_1d(
-        index.positions.astype(np.int64 if wide else np.int32), pbucket)
-    pos_hash = _pad_1d(index.pos_hash, pbucket)
+    i_pad = _probe_bucket(max(index.pos_sorted.size, 1))
+    ihash = _pad_1d(index.hash_sorted, i_pad)
+    # pad positions with -1: the probe treats negative-pos entries as inert
+    ipos = np.full(i_pad, -1, dtype=np.int64 if wide else np.int32)
+    ipos[: index.pos_sorted.size] = index.pos_sorted
     conv = (lambda a: a) if mesh is not None else jnp.asarray
     return (
-        conv(index.starts.astype(np.int32)),
-        conv(positions),
-        conv(pos_hash),
+        conv(ihash),
+        conv(ipos),
         conv(pg_lanes),
         len(pg_lanes),
+        i_pad,
     )
 
 
@@ -405,35 +452,35 @@ def match_reads(
     dev = device_index(index, pg_codes, wide=wide, mesh=mesh)
     offs_full = probe_offsets(L, index.k, k2)
     offs_p1 = _spread_offsets(offs_full, index.k1)
-    cap_p1 = min(cap, 4)
 
     # pass 1: BOTH strands at k1 residue-covering spread offsets for every
-    # read (on a
-    # strand-mixed input ~half the reads only match reverse-complemented;
-    # probing rc up front keeps them out of the expensive full fan-out —
-    # the reference instead rc-flips the whole pg and re-runs matching,
-    # ReadsMatchers.cpp:162-184)
+    # read, verifying the first confirmed anchor (on a strand-mixed input
+    # ~half the reads only match reverse-complemented; probing rc up front
+    # keeps them out of the expensive full fan-out — the reference instead
+    # rc-flips the whole pg and re-runs matching, ReadsMatchers.cpp:162-184)
     lanes_f, _ = packed.pack_lanes(read_codes)
     rc_all = packed.revcomp_codes_matrix(read_codes)
     rc_all[rc_all > 3] = 0  # N probes as A on the RC strand too
     lanes_r, _ = packed.pack_lanes(rc_all)
-    fm, fp = _probe_batch(lanes_f, offs_p1, cap_p1, index, dev, max_mismatches,
+    fm, fp = _probe_batch(lanes_f, offs_p1, index, dev, max_mismatches,
                           L, batch_rows=131072, mesh=mesh, wide=wide)
-    rm, rp = _probe_batch(lanes_r, offs_p1, cap_p1, index, dev, max_mismatches,
+    rm, rp = _probe_batch(lanes_r, offs_p1, index, dev, max_mismatches,
                           L, batch_rows=131072, mesh=mesh, wide=wide)
 
-    # pass 2: full fan-out on both strands only for unaccepted leftovers
+    # pass 2: full fan-out on both strands only for unaccepted leftovers,
+    # best of the first `cap` confirmed anchors per read
+    n_verify2 = max(2, min(cap, 6))
     rows = np.nonzero(np.minimum(fm, rm) > accept_mis)[0]
     if rows.size:
-        mis_t, pos_t = _probe_batch(lanes_f[rows], offs_full, cap, index, dev,
+        mis_t, pos_t = _probe_batch(lanes_f[rows], offs_full, index, dev,
                                     max_mismatches, L, batch_rows=32768,
-                                    mesh=mesh, wide=wide)
+                                    mesh=mesh, wide=wide, n_verify=n_verify2)
         better_f = mis_t < fm[rows]
         fm[rows] = np.where(better_f, mis_t, fm[rows])
         fp[rows] = np.where(better_f, pos_t, fp[rows])
-        mis_t, pos_t = _probe_batch(lanes_r[rows], offs_full, cap, index, dev,
+        mis_t, pos_t = _probe_batch(lanes_r[rows], offs_full, index, dev,
                                     max_mismatches, L, batch_rows=32768,
-                                    mesh=mesh, wide=wide)
+                                    mesh=mesh, wide=wide, n_verify=n_verify2)
         better_r = mis_t < rm[rows]
         rm[rows] = np.where(better_r, mis_t, rm[rows])
         rp[rows] = np.where(better_r, pos_t, rp[rows])

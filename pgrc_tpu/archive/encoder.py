@@ -208,7 +208,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         cand_codes = codes[cand_idx]
         has_n = (cand_codes == dna.N).any(axis=1)
         max_mis = L // params.min_chars_per_mismatch
-        index = align_matcher.build_index(hq_pg, k=k, bits=_index_bits(len(hq_pg)))
+        index = align_matcher.build_index(hq_pg, k=k)
         # reads with N probe with N->A (2-bit packing collapses N); their true
         # mismatch count is restored by an exact re-verify below
         mres = align_matcher.match_reads(
@@ -433,11 +433,6 @@ def _append_report(params: PgRCParams, stats: EncodeStats) -> None:
         if new:
             f.write(header)
         f.write(row)
-
-
-def _index_bits(pg_len: int) -> int:
-    bits = max(14, min(24, (pg_len // 4).bit_length()))
-    return bits
 
 
 def _gather_flat_mismatches(perm, mis_cnt_perm, src_cum, m_sym, m_off):

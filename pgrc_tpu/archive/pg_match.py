@@ -45,14 +45,15 @@ def _find_matches(src: np.ndarray, index, query: np.ndarray, min_len: int) -> np
         return np.zeros((0, 3), dtype=np.int64)
     qh = align_matcher._window_hashes(query, k)
     probes = np.arange(0, nq - k + 1, DEST_STRIDE, dtype=np.int64)
-    hb = (qh[probes] >> np.uint32(32 - index.bits)).astype(np.int64)
-    lo = index.starts[hb]
-    cnt = index.starts[hb + 1] - lo
+    qh_p = qh[probes]
+    # equal-range lookup in the hash-sorted index (v2: no CSR buckets)
+    lo = np.searchsorted(index.hash_sorted, qh_p, side="left")
+    cnt = np.searchsorted(index.hash_sorted, qh_p, side="right") - lo
     slot = np.arange(CAP, dtype=np.int64)
     cand = lo[:, None] + slot[None, :]
-    valid = slot[None, :] < cnt[:, None]
-    cand = np.clip(cand, 0, max(index.positions.size - 1, 0))
-    spos = index.positions[cand]                       # [P, C]
+    valid = slot[None, :] < np.minimum(cnt, CAP)[:, None]
+    cand = np.clip(cand, 0, max(index.pos_sorted.size - 1, 0))
+    spos = index.pos_sorted[cand]                      # [P, C]
     qpos = np.broadcast_to(probes[:, None], spos.shape)
     spos = spos[valid]
     qpos = qpos[valid]
@@ -213,9 +214,7 @@ def _mark_and_remove(
 def match_pgs_in_pg(hq, lq, npg, target_len: int):
     """Returns rewritten (hq, lq, n) and the extra compression jobs
     (offset/length streams per destination, in lq, n, hq order)."""
-    index = align_matcher.build_index(
-        hq, k=ANCHOR_K, k1=SRC_STRIDE, bits=_bits_for(len(hq)), max_bucket=CAP * 4
-    )
+    index = align_matcher.build_index(hq, k=ANCHOR_K, k1=SRC_STRIDE)
     lq_new, lq_off, lq_len = _mark_and_remove(hq, index, lq, target_len, False)
     n_new, n_off, n_len = _mark_and_remove(hq, index, npg, target_len, False)
     hq_new, hq_off, hq_len = _mark_and_remove(hq, index, hq, target_len, True)
@@ -236,9 +235,6 @@ def match_pgs_in_pg(hq, lq, npg, target_len: int):
             encode_varints((lens - target_len).astype(np.uint64))))
     return hq_new, lq_new, n_new, streams
 
-
-def _bits_for(n: int) -> int:
-    return max(14, min(24, (n // 4).bit_length()))
 
 
 def _restore_one(src_getter, dest: np.ndarray, offs, lens) -> np.ndarray:

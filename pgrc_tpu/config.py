@@ -60,13 +60,16 @@ class PgRCParams:
     # representation, PgRC.cpp enableRevOffsetMismatchesRepresentation) and
     # the pass-1 accept threshold behind the reference's -l prematch level
     # (our matcher's two-phase structure IS the prematch re-design: pass 1
-    # is the cheap prematch, pass 2 the full matcher). Only EXACT pass-1
-    # hits are final by default: a 1-2-mismatch quick hit often shadows an
-    # exact match the full fan-out would find, and each shadowed match
-    # costs mismatch-stream bytes (measured: accept 2 -> +7.9 KB archive
-    # on the 200k bench, accept 0 matches round-trip optimum)
+    # is the cheap prematch, pass 2 the full matcher). Pass-1 hits with
+    # <= 1 mismatch are final: residue-covering offsets + hash-confirmed
+    # anchors mean pass 1 already finds essentially every exact match
+    # (r4 measurement on the 200k bench: the full fan-out found an exact
+    # for only 2 of 64937 pass-2 rows, and NO 1-mismatch hit improved to
+    # exact), while accept<=2 costs +7.9 KB archive (2-mis rows do improve
+    # to 1). accept=1 keeps the ratio of accept=0 at ~28% of its pass-2
+    # row count.
     rev_offset_mismatches: bool = True
-    prematch_accept_mis: int = 0
+    prematch_accept_mis: int = 1
 
     # observability
     verbosity: int = 0              # 0 app, 1 +dev stream logs, 2 +trace

@@ -76,10 +76,10 @@ for rep in range(2):
     rc_all[rc_all > 3] = 0
     lanes_r, _ = packed.pack_lanes(rc_all)
     ck("pack lanes f+r")
-    fm, fp = am._probe_batch(lanes_f, offs_p1, cap_p1, index, dev, max_mis, L,
+    fm, fp = am._probe_batch(lanes_f, offs_p1, index, dev, max_mis, L,
                              batch_rows=131072)
     ck(f"pass1 fwd (offs={len(offs_p1)} cap={cap_p1})")
-    rm, rp = am._probe_batch(lanes_r, offs_p1, cap_p1, index, dev, max_mis, L,
+    rm, rp = am._probe_batch(lanes_r, offs_p1, index, dev, max_mis, L,
                              batch_rows=131072)
     ck("pass1 rc")
     best1 = np.minimum(fm, rm)
@@ -88,14 +88,14 @@ for rep in range(2):
           f"4-10={hist[4:11].sum()} 11+={hist[11:255].sum()} miss={hist[255]}")
     rows = np.nonzero(best1 > ACCEPT)[0]
     print(f"   pass2 rows: {rows.size} ({100.0*rows.size/max(len(pc),1):.1f}%)")
-    mis_t, pos_t = am._probe_batch(lanes_f[rows], offs_full, cap, index, dev,
-                                   max_mis, L, batch_rows=32768)
+    mis_t, pos_t = am._probe_batch(lanes_f[rows], offs_full, index, dev,
+                                   max_mis, L, batch_rows=32768, n_verify=6)
     better_f = mis_t < fm[rows]
     fm2, fp2 = fm.copy(), fp.copy()
     fm2[rows] = np.where(better_f, mis_t, fm[rows])
     ck(f"pass2 fwd (offs={len(offs_full)} cap={cap})")
-    mis_t, pos_t = am._probe_batch(lanes_r[rows], offs_full, cap, index, dev,
-                                   max_mis, L, batch_rows=32768)
+    mis_t, pos_t = am._probe_batch(lanes_r[rows], offs_full, index, dev,
+                                   max_mis, L, batch_rows=32768, n_verify=6)
     rm2 = rm.copy()
     rm2[rows] = np.where(mis_t < rm[rows], mis_t, rm[rows])
     ck("pass2 rc")

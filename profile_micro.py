@@ -174,10 +174,10 @@ index = am.build_index(pg, k=k, bits=max(14, min(24, (len(pg) // 4).bit_length()
 print(f"cand={cand.shape[0]} index pos={index.positions.size}")
 
 orig_probe_batch = am._probe_batch
-def traced_probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows, mesh=None, wide=False):
+def traced_probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows, mesh=None, wide=False, n_verify=1):
     t0 = time.time()
-    out = orig_probe_batch(rows_lanes, offs, cap, index, dev, max_mis, L, batch_rows, mesh=mesh, wide=wide)
-    print(f"    probe rows={rows_lanes.shape[0]:7d} offs={len(offs):3d} cap={cap} : {time.time()-t0:.3f}s", flush=True)
+    out = orig_probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows, mesh=mesh, wide=wide, n_verify=n_verify)
+    print(f"    probe rows={rows_lanes.shape[0]:7d} offs={len(offs):3d} nv={n_verify} : {time.time()-t0:.3f}s", flush=True)
     return out
 am._probe_batch = traced_probe_batch
 
