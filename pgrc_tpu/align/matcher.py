@@ -487,18 +487,20 @@ def match_reads(
 
     # pass 3: interleaved-anchor rescue for reads both device passes missed
     # (burst errors can kill every contiguous k-mer anchor; an interleaved
-    # anchor samples every 2nd symbol over a 2k window and survives them)
+    # anchor samples every 2nd symbol over a 2k window and survives them).
+    # The pg-side interleaved index is built once and shared by both strands
     rows = np.nonzero(np.minimum(fm, rm) == 255)[0]
     k_resc = min(index.k, 16)
-    if rows.size and L >= 2 * k_resc:
+    if rows.size and L >= 2 * k_resc and pg_codes.size >= 2 * k_resc:
+        ridx = _build_rescue_index(pg_codes, k_resc)
         im, ip = _interleaved_rescue(read_codes[rows], pg_codes, k_resc,
-                                     max_mismatches)
+                                     max_mismatches, ridx=ridx)
         better = im < fm[rows]
         fm[rows] = np.where(better, im, fm[rows])
         fp[rows] = np.where(better, ip, fp[rows])
         rc_sub = rc_all[rows]
         im, ip = _interleaved_rescue(rc_sub, pg_codes, k_resc,
-                                     max_mismatches)
+                                     max_mismatches, ridx=ridx)
         better = im < rm[rows]
         rm[rows] = np.where(better, im, rm[rows])
         rp[rows] = np.where(better, ip, rp[rows])
@@ -512,9 +514,31 @@ def match_reads(
     return MatchResult(out_pos, out_rc, out_mis)
 
 
+def _build_rescue_index(pg_codes: np.ndarray, k: int, k1: int = 2,
+                        bits: int = 20):
+    """Interleaved-anchor CSR index of the pg: hash of every 2nd symbol
+    over a 2k window at positions sampled every k1. Built once per stage
+    and shared by the forward and rc rescue calls.
+
+    Interleaved window hash at pg position p = contiguous window hash of
+    the parity-(p%2) downsampled sequence at index p//2."""
+    span = 2 * k
+    half = [_window_hashes(pg_codes[0::2], k), _window_hashes(pg_codes[1::2], k)]
+    sampled = np.arange(0, pg_codes.size - span + 1, k1, dtype=np.int64)
+    hs = np.where(sampled % 2 == 0,
+                  half[0][np.clip(sampled // 2, 0, half[0].size - 1)],
+                  half[1][np.clip(sampled // 2, 0, max(half[1].size - 1, 0))])
+    hb = (hs >> np.uint32(32 - bits)).astype(np.int64)
+    order = np.argsort(hb, kind="stable")
+    counts = np.bincount(hb[order], minlength=1 << bits)
+    starts = np.zeros((1 << bits) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    return sampled[order], hs[order], starts, bits
+
+
 def _interleaved_rescue(read_codes: np.ndarray, pg_codes: np.ndarray,
                         k: int, max_mis: int, k1: int = 2, k2: int = 1,
-                        bits: int = 20, cap: int = 4):
+                        bits: int = 20, cap: int = 4, ridx=None):
     """Interleaved-pattern anchor matching for leftover reads (the
     InterleavedReadsApproxMatcher role, matching/ReadsMatchers.cpp:343-409):
     anchors hash every SECOND symbol of a 2k-wide window, so a burst of
@@ -529,19 +553,9 @@ def _interleaved_rescue(read_codes: np.ndarray, pg_codes: np.ndarray,
     span = 2 * k  # window width covered by one interleaved anchor
     if n == 0 or pg_codes.size < span or L < span:
         return out_mis, out_pos
-    # interleaved window hash at pg position p = contiguous window hash of
-    # the parity-(p%2) downsampled sequence at index p//2
-    half = [ _window_hashes(pg_codes[0::2], k), _window_hashes(pg_codes[1::2], k) ]
-    sampled = np.arange(0, pg_codes.size - span + 1, k1, dtype=np.int64)
-    hs = np.where(sampled % 2 == 0,
-                  half[0][np.clip(sampled // 2, 0, half[0].size - 1)],
-                  half[1][np.clip(sampled // 2, 0, max(half[1].size - 1, 0))])
-    hb = (hs >> np.uint32(32 - bits)).astype(np.int64)
-    order = np.argsort(hb, kind="stable")
-    hb_s, pos_s, h_s = hb[order], sampled[order], hs[order]
-    counts = np.bincount(hb_s, minlength=1 << bits)
-    starts = np.zeros((1 << bits) + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
+    if ridx is None:
+        ridx = _build_rescue_index(pg_codes, k, k1, bits)
+    pos_s, h_s, starts, bits = ridx
 
     r_half0 = np.stack([_window_hashes(read_codes[r, 0::2], k)
                         for r in range(n)])

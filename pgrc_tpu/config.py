@@ -60,16 +60,13 @@ class PgRCParams:
     # representation, PgRC.cpp enableRevOffsetMismatchesRepresentation) and
     # the pass-1 accept threshold behind the reference's -l prematch level
     # (our matcher's two-phase structure IS the prematch re-design: pass 1
-    # is the cheap prematch, pass 2 the full matcher). Pass-1 hits with
-    # <= 1 mismatch are final: residue-covering offsets + hash-confirmed
-    # anchors mean pass 1 already finds essentially every exact match
-    # (r4 measurement on the 200k bench: the full fan-out found an exact
-    # for only 2 of 64937 pass-2 rows, and NO 1-mismatch hit improved to
-    # exact), while accept<=2 costs +7.9 KB archive (2-mis rows do improve
-    # to 1). accept=1 keeps the ratio of accept=0 at ~28% of its pass-2
-    # row count.
+    # is the cheap prematch, pass 2 the full matcher). Only EXACT pass-1
+    # hits are final: r4 measurements on the 200k bench show accept=1
+    # costs +7.4 KB archive (0.1387 -> 0.1417 b/b) while the v2 matcher's
+    # confirmed-anchor-capped pass-2 makes accept=0 no slower (the full
+    # fan-out now verifies at most `cap` confirmed windows per read).
     rev_offset_mismatches: bool = True
-    prematch_accept_mis: int = 1
+    prematch_accept_mis: int = 0
 
     # observability
     verbosity: int = 0              # 0 app, 1 +dev stream logs, 2 +trace
