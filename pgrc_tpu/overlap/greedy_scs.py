@@ -320,15 +320,19 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
                               prev(gid_t, -1).astype(jnp.uint32) + jnp.uint32(1),
                               jnp.uint32(0)) \
                 | jnp.where(claimed_t, jnp.uint32(0x80000000), jnp.uint32(0))
-            # sort 3: canonical row order; the row update is a slice + OR
-            orig3, val3 = jax.lax.sort((origt, val_t), num_keys=1,
-                                       is_stable=False)
             if axis:
-                my_lo = jax.lax.axis_index(axis) * n
-                val_pref = jax.lax.dynamic_slice_in_dim(val3, my_lo, n)
-                val_suf = jax.lax.dynamic_slice_in_dim(
-                    val3, jnp.int32(n_tot) + my_lo, n)
+                # sharded tables may hold arbitrary (compacted) id subsets,
+                # so route via one scatter to (side, gid) coordinates and a
+                # per-device gather of its own ids — only the mesh path
+                # pays the scatter/gather, the 1-device path stays all-sort
+                tbl = jnp.zeros((2 * n_glob,), jnp.uint32).at[origt].set(
+                    val_t, mode="drop")
+                val_pref = jnp.take(tbl, ids)
+                val_suf = jnp.take(tbl, ids + jnp.int32(n_glob))
             else:
+                # sort 3: canonical row order; the row update is a slice+OR
+                orig3, val3 = jax.lax.sort((origt, val_t), num_keys=1,
+                                           is_stable=False)
                 val_pref = val3[:n]
                 val_suf = val3[n : 2 * n]
 
@@ -381,10 +385,15 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
             # are disjoint and a row links at most once): max-merge replicas
             sg = jax.lax.pmax(sg, axis)
             og = jax.lax.pmax(og, axis)
-        n_active = _allsum((a_s | a_p).sum(dtype=jnp.int32))
+        loc_act = (a_s | a_p).sum(dtype=jnp.int32)
+        n_active = _allsum(loc_act)
+        # per-device max drives the compaction ladder under mesh (tables
+        # must stay uniform across devices; a skewed shard sets the size)
+        n_act_max = jax.lax.pmax(loc_act, axis) if axis else n_active
         n_suf = _allsum(a_s.sum(dtype=jnp.int32))
         n_pref = _allsum(a_p.sum(dtype=jnp.int32))
-        return h, p, h2, p2, a_s, a_p, sl, ol, sg, og, n_active, n_suf, n_pref
+        return (h, p, h2, p2, a_s, a_p, sl, ol, sg, og,
+                n_active, n_act_max, n_suf, n_pref)
 
     if mesh is None:
         return jax.jit(seg_fn)
@@ -397,7 +406,7 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
         seg_fn,
         mesh=mesh,
         in_specs=(S, S, S, S, S, S, S, S, S, S, S, R, R, R, R),
-        out_specs=(S, S, S, S, S, S, S, S, R, R, R, R, R),
+        out_specs=(S, S, S, S, S, S, S, S, R, R, R, R, R, R),
     )
     return jax.jit(smapped)
 
@@ -457,7 +466,7 @@ def _build_init_fn(n: int, L: int, has_n: bool):
     return jax.jit(init_fn)
 
 
-def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool):
+def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool, mesh=None):
     """Device-side table compaction: stable-partition active rows to the
     front (one kv sort of n_old keys) and gather the first n_new rows of
     every per-row array. Dropped rows have already written their links to
@@ -483,7 +492,21 @@ def _build_compact_fn(n_old: int, n_new: int, L: int, has_n: bool):
             jnp.take(ovl_l, sel),
         )
 
-    return jax.jit(compact_fn)
+    if mesh is None:
+        return jax.jit(compact_fn)
+
+    # per-device local compaction: each shard stable-partitions ITS rows
+    # (ids are global, so dropping rows never loses links — they were
+    # flushed at the last segment end, exactly as on one device)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    S = P("data")
+    smapped = shard_map(
+        compact_fn, mesh=mesh,
+        in_specs=(S,) * 11, out_specs=(S,) * 11,
+    )
+    return jax.jit(smapped)
 
 
 def _mesh_size(mesh) -> int:
@@ -570,22 +593,21 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
     # numpy so the first jit call places them per the mesh layout
     succ_l = np.full((n_pad,), -1, dtype=np.int32)
     ovl_l = np.zeros((n_pad,), dtype=np.int32)
-    n_loc = n_pad
+    n_loc = n_pad if mesh is None else n_pad // D   # per-device table size
     iters = int(L * coef)
 
     i = 1
     seg_idx = 0
-    pending = None  # (n_act, n_suf, n_pref) device futures of the PREVIOUS segment
+    pending = None  # count futures of the PREVIOUS segment
     while i < iters:
         seg = _SEG_PLAN[seg_idx] if seg_idx < len(_SEG_PLAN) else _SEG_TAIL
         seg_idx += 1
         i1 = min(i + seg, iters)
         # under shard_map the round program sees per-device blocks
-        seg_fn = _cached("seg", _build_seg_fn,
-                         n_loc if mesh is None else n_pad // D,
+        seg_fn = _cached("seg", _build_seg_fn, n_loc,
                          L, has_n, n_pad, mesh if mesh is not None else None)
         (h, p, h2, p2, a_s, a_p, succ_l, ovl_l, succ_g, ovl_g,
-         n_act, n_suf, n_pref) = seg_fn(
+         n_act, n_act_max, n_suf, n_pref) = seg_fn(
             lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p,
             succ_l, ovl_l, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1),
         )
@@ -597,22 +619,26 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
         # stalls on a fresh count round-trip; compaction runs one segment
         # late with counts that are only ever over-estimates — safe
         if pending is not None:
-            cnt, csuf, cpref = (int(v) for v in jax.device_get(pending))
+            cnt, cnt_max, csuf, cpref = (int(v) for v in jax.device_get(pending))
             if csuf == 0 or cpref == 0:
                 break  # nothing left to match — remaining rounds are no-ops
-            n_new = _ladder_size(cnt)
-            if n_new < n_loc and mesh is None:
+            # per-device ladder size (the pmax count under mesh keeps the
+            # skewed shard's actives; tables stay uniform across devices)
+            n_new = _ladder_size(cnt if mesh is None else cnt_max)
+            if n_new < n_loc:
                 # compaction changes only row placement, never link choices
                 # (all decisions are in global-id space), and every dropped
                 # row's links were flushed at the last segment end
-                compact_fn = _cached("compact", _build_compact_fn, n_loc, n_new, L, has_n)
+                compact_fn = _cached("compact", _build_compact_fn, n_loc,
+                                     n_new, L, has_n,
+                                     mesh if mesh is not None else None)
                 (lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p,
                  succ_l, ovl_l) = compact_fn(
                     lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p,
                     succ_l, ovl_l
                 )
                 n_loc = n_new
-        pending = (n_act, n_suf, n_pref)
+        pending = (n_act, n_act_max, n_suf, n_pref)
 
     # device_get, not np.asarray: the __array__ readback path stalls ~10 s
     # per call on a tunneled TPU, device_get transfers in ms

@@ -107,7 +107,7 @@ def timed_find_overlaps(codes_np, coef):
         seg_fn = g._cached("seg", g._build_seg_fn, n_loc, L, has_n, n_pad, None)
         t0 = time.time()
         (h, p, h2, p2, a_s, a_p, succ_l, ovl_l, succ_g, ovl_g,
-         n_act, n_suf, n_pref) = \
+         n_act, n_act_max, n_suf, n_pref) = \
             seg_fn(lanes_d, nmask_d, ids, h, p, h2, p2, a_s,
                    a_p, succ_l, ovl_l, succ_g, ovl_g, jnp.int32(i), jnp.int32(i1))
         cnt, csuf, cpref = (int(v) for v in jax.device_get((n_act, n_suf, n_pref)))
@@ -119,7 +119,7 @@ def timed_find_overlaps(codes_np, coef):
         n_new = g._ladder_size(cnt)
         if n_new < n_loc:
             t0 = time.time()
-            compact_fn = g._cached("compact", g._build_compact_fn, n_loc, n_new, L, has_n)
+            compact_fn = g._cached("compact", g._build_compact_fn, n_loc, n_new, L, has_n, None)
             (lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p,
              succ_l, ovl_l) = compact_fn(
                 lanes_d, nmask_d, ids, h, p, h2, p2, a_s, a_p, succ_l, ovl_l)

@@ -88,3 +88,109 @@ def test_se_multiset_equal_to_reference_decode(tmp_path):
     with open(our_arch + "_out", "rb") as f:
         our_reads = sorted(f.read().splitlines())
     assert our_reads == ref_reads
+
+
+def _synth_pair(tmp_path, n, seed):
+    """Two mate files sampled near each other on one genome."""
+    import bench as bench_mod
+
+    src1 = str(tmp_path / "in_1.fastq")
+    src2 = str(tmp_path / "in_2.fastq")
+    bench_mod.synth_fastq(src1, n, 100, max(n * 100 // 40, 20000), seed=seed,
+                          pair=src2)
+    return src1, src2
+
+
+def test_pe_pair_multiset_equal_to_reference_decode(tmp_path):
+    """PE mode (non-order-preserving): both tools' decoded (read1, read2)
+    pair multisets must equal the input's (reference modes -i in1 in2,
+    pgrc-decoder.cpp:241-382)."""
+    src1, src2 = _synth_pair(tmp_path, 2500, 21)
+
+    ref_arch = str(tmp_path / "ref.pgrc")
+    subprocess.run([REF_BIN, "-t", "2", "-i", src1, src2, ref_arch],
+                   check=True, capture_output=True, timeout=600)
+    subprocess.run([REF_BIN, "-t", "2", "-d", ref_arch],
+                   check=True, capture_output=True, timeout=600)
+    ref_pairs = sorted(
+        a + b"|" + b for a, b in zip(
+            open(ref_arch + "_out_1", "rb").read().splitlines(),
+            open(ref_arch + "_out_2", "rb").read().splitlines()))
+    want_pairs = sorted(
+        a + b"|" + b for a, b in zip(
+            _read_lines_bytes(src1).splitlines(),
+            _read_lines_bytes(src2).splitlines()))
+    assert ref_pairs == want_pairs
+
+    from pgrc_tpu.archive import decoder, encoder
+    from pgrc_tpu.config import PgRCParams
+
+    our_arch = str(tmp_path / "ours.pgtc")
+    stats = encoder.encode(PgRCParams(src_fastq=src1, pair_fastq=src2,
+                                      output=our_arch))
+    decoder.decode_to_files(our_arch, our_arch)
+    our_pairs = sorted(
+        a + b"|" + b for a, b in zip(
+            open(our_arch + "_out_1", "rb").read().splitlines(),
+            open(our_arch + "_out_2", "rb").read().splitlines()))
+    assert our_pairs == want_pairs
+    print(f"PE archive sizes: ours={stats.archive_bytes} "
+          f"reference={os.path.getsize(ref_arch)}")
+
+
+def test_pe_ord_outputs_byte_identical(tmp_path):
+    """PE_ORD: both tools' decoded outputs must be byte-identical to both
+    input files (reference -o -i in1 in2, pgrc-decoder.cpp:384-527)."""
+    src1, src2 = _synth_pair(tmp_path, 2500, 22)
+    want1, want2 = _read_lines_bytes(src1), _read_lines_bytes(src2)
+
+    ref_arch = str(tmp_path / "ref.pgrc")
+    subprocess.run([REF_BIN, "-o", "-t", "2", "-i", src1, src2, ref_arch],
+                   check=True, capture_output=True, timeout=600)
+    subprocess.run([REF_BIN, "-t", "2", "-d", ref_arch],
+                   check=True, capture_output=True, timeout=600)
+    assert open(ref_arch + "_out_1", "rb").read() == want1
+    assert open(ref_arch + "_out_2", "rb").read() == want2
+
+    from pgrc_tpu.archive import decoder, encoder
+    from pgrc_tpu.config import PgRCParams
+
+    our_arch = str(tmp_path / "ours.pgtc")
+    stats = encoder.encode(PgRCParams(src_fastq=src1, pair_fastq=src2,
+                                      output=our_arch, preserve_order=True))
+    decoder.decode_to_files(our_arch, our_arch)
+    assert open(our_arch + "_out_1", "rb").read() == want1
+    assert open(our_arch + "_out_2", "rb").read() == want2
+    print(f"PE_ORD archive sizes: ours={stats.archive_bytes} "
+          f"reference={os.path.getsize(ref_arch)}")
+
+
+@pytest.mark.slow
+def test_se_ord_byte_identical_200k(tmp_path):
+    """The fidelity clause at bench scale: 200k reads, order-preserving,
+    byte-identical decode for both tools, with archive-size ratio printed."""
+    import bench as bench_mod
+
+    src = str(tmp_path / "in.fastq")
+    bench_mod.synth_fastq(src, 200_000, 100, 500_000, seed=7)
+    want = _read_lines_bytes(src)
+
+    ref_arch = str(tmp_path / "ref.pgrc")
+    subprocess.run([REF_BIN, "-o", "-t", "2", "-i", src, ref_arch],
+                   check=True, capture_output=True, timeout=1800)
+    subprocess.run([REF_BIN, "-t", "2", "-d", ref_arch],
+                   check=True, capture_output=True, timeout=1800)
+    assert open(ref_arch + "_out", "rb").read() == want
+
+    from pgrc_tpu.archive import decoder, encoder
+    from pgrc_tpu.config import PgRCParams
+
+    our_arch = str(tmp_path / "ours.pgtc")
+    stats = encoder.encode(PgRCParams(src_fastq=src, output=our_arch,
+                                      preserve_order=True))
+    decoder.decode_to_files(our_arch, our_arch)
+    assert open(our_arch + "_out", "rb").read() == want
+    ref_size = os.path.getsize(ref_arch)
+    print(f"200k SE_ORD sizes: ours={stats.archive_bytes} ref={ref_size} "
+          f"ratio={stats.archive_bytes / ref_size:.3f}")
+    assert stats.archive_bytes < ref_size * 1.15

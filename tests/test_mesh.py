@@ -84,3 +84,21 @@ def test_encode_mesh_archive_identical(mesh8):
         assert b1 == b8
         rep = decoder.validate(out8, src)
         assert not rep["errors"], rep
+
+
+def test_find_overlaps_mesh_with_compaction_matches_single():
+    """A high-coverage input large enough that the active set collapses
+    below the compaction ladder on an 8-device mesh: the sharded path must
+    compact (per-device local tables, scatter/gather routing) and still
+    produce exactly the single-device links (VERDICT r3 #7)."""
+    rng = np.random.default_rng(5)
+    genome = rng.integers(0, 4, size=20_000, dtype=np.uint8)
+    starts = rng.integers(0, genome.size - 60, size=40_000)
+    codes = genome[starts[:, None] + np.arange(60)[None, :]].astype(np.uint8)
+
+    res1 = greedy_scs.find_overlaps(codes, coef=1.0)
+    m = pmesh.make_mesh(8)
+    # fresh caches so the mesh run cannot reuse single-device programs
+    res8 = greedy_scs.find_overlaps(codes, coef=1.0, mesh=m)
+    assert np.array_equal(res1.succ, res8.succ)
+    assert np.array_equal(res1.overlap, res8.overlap)
