@@ -184,6 +184,10 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         _save_ckpt(params, 3, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx,
                    hq_pg=hq_pg, hq_org=hq_org, hq_pos=hq_pos)
         return stats
+    # kick off the stage-7 hq self-match in a worker thread: it depends
+    # only on the stage-3 pg and overlaps the device-bound stage 4 (the
+    # native scanner releases the GIL while the host waits on the TPU)
+    s7_fut = _submit_self_match(params, hq_pg)
 
     # ---- stage 4: map LQ (and N) reads onto HQ pg ----
     t0 = time.time()
@@ -199,7 +203,8 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
                       ck["n_pg"], ck["n_org"], ck["n_pos"])
         return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
                             ck.get("lq_un", empty), ck.get("n_un", empty),
-                            out_path, stage5, mesh=mesh)
+                            out_path, stage5, mesh=mesh,
+                            s7_fut=_submit_self_match(params, hq_pg))
     cand_idx = np.concatenate([lq_idx, n_idx]) if params.separate_n_reads else lq_idx
     n_begin = lq_idx.size
     if cand_idx.size and hq_pg.size >= L:
@@ -313,11 +318,27 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
                    hq_pg=hq_pg)
         return stats
     return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
-                        lq_un, n_un, out_path, mesh=mesh)
+                        lq_un, n_un, out_path, mesh=mesh, s7_fut=s7_fut)
+
+
+def _submit_self_match(params, hq_pg):
+    """Start the stage-7 hq self-match in a worker thread (None when the
+    pg is below the match threshold or the chain stops before stage 7)."""
+    if params.end_stage < 7 or len(hq_pg) < params.target_pg_match_length:
+        return None
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import pg_match
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    fut = ex.submit(pg_match.self_match_precompute, hq_pg,
+                    params.target_pg_match_length)
+    ex.shutdown(wait=False)
+    return fut
 
 
 def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
-                 out_path, stage5=None, mesh=None):
+                 out_path, stage5=None, mesh=None, s7_fut=None):
     """Stage 5 (LQ/N pgs) + archive write (stages 6-7)."""
     import time
 
@@ -393,7 +414,9 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
     # ---- stage 7: pg sequences ----
     t0 = time.time()
     pgseq.write_pg_sequences(
-        out, hq_pg, lq_pg, n_pg, params.target_pg_match_length, params.compression_level
+        out, hq_pg, lq_pg, n_pg, params.target_pg_match_length,
+        params.compression_level,
+        self_match_pre=s7_fut.result() if s7_fut is not None else None,
     )
     t["pgseq"] = time.time() - t0
 

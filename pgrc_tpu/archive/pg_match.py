@@ -211,13 +211,28 @@ def _mark_and_remove(
     return new_dest, np.asarray(offs, dtype=np.int64), np.asarray(lens, dtype=np.int64)
 
 
-def match_pgs_in_pg(hq, lq, npg, target_len: int):
-    """Returns rewritten (hq, lq, n) and the extra compression jobs
-    (offset/length streams per destination, in lq, n, hq order)."""
+def self_match_precompute(hq, target_len: int):
+    """The hq-self part of stage 7 (index build + hq-vs-hq mark&remove).
+
+    Depends only on the stage-3 pg, so the encoder runs it in a worker
+    thread concurrently with the device-bound stage-4 matcher (the native
+    scanner releases the GIL); the reference runs the whole of stage 7
+    serially at the end (SimplePgMatcher.cpp:175-257)."""
     index = align_matcher.build_index(hq, k=ANCHOR_K, k1=SRC_STRIDE)
+    return index, _mark_and_remove(hq, index, hq, target_len, True)
+
+
+def match_pgs_in_pg(hq, lq, npg, target_len: int, pre=None):
+    """Returns rewritten (hq, lq, n) and the extra compression jobs
+    (offset/length streams per destination, in lq, n, hq order).
+
+    `pre` supplies a self_match_precompute result (index + hq-self marks)
+    computed earlier in a worker thread."""
+    if pre is None:
+        pre = self_match_precompute(hq, target_len)
+    index, (hq_new, hq_off, hq_len) = pre
     lq_new, lq_off, lq_len = _mark_and_remove(hq, index, lq, target_len, False)
     n_new, n_off, n_len = _mark_and_remove(hq, index, npg, target_len, False)
-    hq_new, hq_off, hq_len = _mark_and_remove(hq, index, hq, target_len, True)
     streams = []
     for name, offs, lens in (
         ("lq", lq_off, lq_len), ("n", n_off, n_len), ("hq", hq_off, hq_len)

@@ -18,7 +18,8 @@ from ..utils.varint import write_varint, read_varint
 from ..streams.varlen_dna import MARK
 
 
-def write_pg_sequences(out, hq_pg, lq_pg, n_pg, target_match_len: int, level: int) -> None:
+def write_pg_sequences(out, hq_pg, lq_pg, n_pg, target_match_len: int,
+                       level: int, self_match_pre=None) -> None:
     from . import pg_match
 
     header = bytearray()
@@ -27,7 +28,7 @@ def write_pg_sequences(out, hq_pg, lq_pg, n_pg, target_match_len: int, level: in
     write_varint(header, target_match_len)
     if matched:
         hq_m, lq_m, n_m, streams = pg_match.match_pgs_in_pg(
-            hq_pg, lq_pg, n_pg, target_match_len
+            hq_pg, lq_pg, n_pg, target_match_len, pre=self_match_pre
         )
         hq_pg, lq_pg, n_pg = hq_m, lq_m, n_m
     write_varint(header, len(hq_pg))
