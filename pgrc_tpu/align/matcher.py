@@ -45,11 +45,15 @@ NOT_MATCHED = np.uint8(255)
 
 @dataclass
 class KmerIndex:
-    hash_sorted: np.ndarray  # [P] uint32 full k-mer hashes, ascending
-    pos_sorted: np.ndarray   # [P] int64 pg position of each entry
+    hash_sorted: np.ndarray  # [P] uint32 full k-mer hashes (ascending when
+    pos_sorted: np.ndarray   # `sorted`); [P] int64 pg position per entry
     k: int
     k1: int
     pg_len: int
+    # False = entries unsorted; device_index sorts them on the TPU (one
+    # cheap kv-sort) instead of a host argsort — the host argsort was a
+    # prime scale suspect (0.6 s at a 10M-symbol pg, single-threaded)
+    sorted: bool = True
 
     @property
     def positions(self) -> np.ndarray:  # back-compat introspection
@@ -83,6 +87,7 @@ def build_index(
     k1: int = DEFAULT_K1,
     bits: int | None = None,      # accepted for back-compat; unused (v2)
     max_bucket: int | None = None,
+    device_sort: bool = False,
 ) -> KmerIndex:
     """Sampled sorted k-mer index of the pg (host-vectorized build).
 
@@ -99,6 +104,10 @@ def build_index(
     hashes = _window_hashes(pg_codes, k)
     sampled = np.arange(0, n - k + 1, k1, dtype=np.int64)
     hs = hashes[sampled]
+    if device_sort:
+        # defer the (hash, pos) sort to device_index — one TPU kv-sort
+        return KmerIndex(hash_sorted=hs, pos_sorted=sampled,
+                         k=k, k1=k1, pg_len=n, sorted=False)
     order = np.argsort(hs, kind="stable")  # pos ascending within a run
     return KmerIndex(hash_sorted=hs[order], pos_sorted=sampled[order],
                      k=k, k1=k1, pg_len=n)
@@ -407,9 +416,23 @@ def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
     ipos = np.full(i_pad, -1, dtype=np.int64 if wide else np.int32)
     ipos[: index.pos_sorted.size] = index.pos_sorted
     conv = (lambda a: a) if mesh is not None else jnp.asarray
+    ihash_d, ipos_d = conv(ihash), conv(ipos)
+    if not index.sorted and mesh is None:
+        key = ("isort", i_pad, ipos.dtype.str)
+        if key not in _PROBE_CACHE:
+            _PROBE_CACHE[key] = jax.jit(
+                lambda h, p: jax.lax.sort((h, p), num_keys=1, is_stable=True))
+        ihash_d, ipos_d = _PROBE_CACHE[key](ihash_d, ipos_d)
+    elif not index.sorted:
+        # multi-host meshes keep host arrays; sort on host
+        order = np.argsort(index.hash_sorted, kind="stable")
+        ihash = _pad_1d(index.hash_sorted[order], i_pad)
+        ipos = np.full(i_pad, -1, dtype=np.int64 if wide else np.int32)
+        ipos[: index.pos_sorted.size] = index.pos_sorted[order]
+        ihash_d, ipos_d = ihash, ipos
     return (
-        conv(ihash),
-        conv(ipos),
+        ihash_d,
+        ipos_d,
         conv(pg_lanes),
         len(pg_lanes),
         i_pad,

@@ -213,7 +213,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         cand_codes = codes[cand_idx]
         has_n = (cand_codes == dna.N).any(axis=1)
         max_mis = L // params.min_chars_per_mismatch
-        index = align_matcher.build_index(hq_pg, k=k)
+        index = align_matcher.build_index(hq_pg, k=k, device_sort=True)
         # reads with N probe with N->A (2-bit packing collapses N); their true
         # mismatch count is restored by an exact re-verify below
         mres = align_matcher.match_reads(
