@@ -222,6 +222,120 @@ def _decode_rows(ar: Archive, joined_rows: np.ndarray,
     return out
 
 
+def _rows_meta(ar: Archive, joined_rows: np.ndarray):
+    """Per-row decode metadata for joined-list rows: absolute positions in
+    the joined pg, the hq-row mask, and the hq rows' ReadsList slice."""
+    hq_len = len(ar.hq_pg)
+    is_hq = joined_rows < ar.hq_count
+    pos = np.empty(joined_rows.size, dtype=np.int64)
+    rl = None
+    if is_hq.any():
+        rl = ar.hq_reads.take_rows(joined_rows[is_hq])
+        pos[is_hq] = rl.pos
+    raw = ~is_hq
+    if raw.any():
+        r = joined_rows[raw]
+        is_lq = r < ar.hq_count + ar.lq_count
+        p = np.empty(r.size, dtype=np.int64)
+        if is_lq.any():
+            p[is_lq] = ar.lq_pos[r[is_lq] - ar.hq_count] + hq_len
+        is_n = ~is_lq
+        if is_n.any():
+            p[is_n] = (ar.n_pos[r[is_n] - ar.hq_count - ar.lq_count]
+                       + hq_len + len(ar.lq_pg))
+        pos[raw] = p
+    return pos, is_hq, rl
+
+
+def _chunk_lines(ar: Archive, joined_pg: np.ndarray, pos: np.ndarray,
+                 is_hq: np.ndarray, rl, flip_raw: bool):
+    """Fused native reconstruction of one output chunk to ASCII line bytes;
+    returns None when native is unavailable (caller takes the numpy path).
+
+    Touches the output bytes exactly once (window copy + rc + mismatches +
+    ASCII in one threaded pass) — the decode analog of the reference's
+    chunked writer loops (pgrc-decoder.cpp:137-527)."""
+    from .. import native
+
+    n = pos.shape[0]
+    rc = np.zeros(n, dtype=np.uint8)
+    if flip_raw:
+        rc[~is_hq] = 1
+    cum = np.zeros(n + 1, dtype=np.int64)
+    sym = off = lut = None
+    if rl is not None:
+        if rl.rev_comp.size:
+            rc[is_hq] = rl.rev_comp
+        if rl.mis_cnt.size:
+            cnts = np.zeros(n, dtype=np.int64)
+            cnts[is_hq] = rl.mis_cnt
+            np.cumsum(cnts, out=cum[1:])
+            sym, off, lut = rl.mis_sym_code, rl.mis_off, rl.mis_dec_lut
+            if off.dtype != np.uint8:
+                return None  # u16 offsets (L > 256): numpy path
+    return native.reconstruct_lines(
+        joined_pg, pos, ar.read_len, rc=rc, mis_cum=cum, mis_sym=sym,
+        mis_off=off, dec_lut=lut)
+
+
+def iter_decoded_line_chunks(ar: Archive, chunk: int = _DECODE_CHUNK):
+    """Yield (file_idx, line-bytes) chunks in output order via the fused
+    native decoder; falls back to formatting the numpy matrices."""
+    from ..core import fastq as fastq_mod
+
+    L = ar.read_len
+    joined_pg = np.concatenate([ar.hq_pg, ar.lq_pg, ar.n_pg])
+    if ar.mode in (MODE_SE, MODE_PE, MODE_MIN_PE):
+        if ar.mode == MODE_SE:
+            total = ar.hq_count + ar.lq_count + ar.n_count
+            plan = [(0, np.arange(lo, min(lo + chunk, total), dtype=np.int64),
+                     False) for lo in range(0, total, chunk)]
+        else:
+            order = ar.rl_idx_order
+            plan = []
+            for fi in (0, 1):
+                sel_all = order[fi::2]
+                flip = ar.revcomp_pair and fi == 1
+                for lo in range(0, sel_all.size, chunk):
+                    plan.append((fi, sel_all[lo : lo + chunk], flip))
+        for fi, rows, flip in plan:
+            pos, is_hq, rl = _rows_meta(ar, rows)
+            data = _chunk_lines(ar, joined_pg, pos, is_hq, rl, flip)
+            if data is None:
+                mat = _decode_rows(ar, rows, joined_pg)
+                if flip:
+                    raw = rows >= ar.hq_count
+                    mat[raw] = packed.revcomp_codes_matrix(mat[raw])
+                data = fastq_mod.reads_lines_bytes(mat)
+            yield fi, data
+        return
+    # ORD modes: positions by original index; hq entry k = k-th hq member
+    posall = ar.pos_by_org
+    hq_len = len(ar.hq_pg)
+    is_hq_all = posall < hq_len
+    hq_rank = np.cumsum(is_hq_all) - 1
+    n_files = 2 if ar.mode == MODE_ORD_PE else 1
+    for fi in range(n_files):
+        org = np.arange(fi, posall.size, n_files, dtype=np.int64)
+        flip = ar.revcomp_pair and fi == 1
+        for lo in range(0, org.size, chunk):
+            o = org[lo : lo + chunk]
+            p = posall[o]
+            is_hq = is_hq_all[o]
+            rl = (ar.hq_reads.take_rows(hq_rank[o[is_hq]], pos=p[is_hq])
+                  if is_hq.any() else None)
+            data = _chunk_lines(ar, joined_pg, p, is_hq, rl, flip)
+            if data is None:
+                mat = reconstruct_at(joined_pg, p, L)
+                if is_hq.any():
+                    rows = np.nonzero(is_hq)[0]
+                    mat[rows] = reconstruct_at(joined_pg, p[rows], L, rl)
+                if flip:
+                    mat[~is_hq] = packed.revcomp_codes_matrix(mat[~is_hq])
+                data = fastq_mod.reads_lines_bytes(mat)
+            yield fi, data
+
+
 def iter_decoded_chunks(ar: Archive, chunk: int = _DECODE_CHUNK):
     """Yield (file_idx, codes[C, L]) chunks in output order — the streaming
     decode path; decode_to_matrices remains the whole-matrix convenience."""
@@ -285,14 +399,14 @@ def decode_to_files(path: str, out_prefix: str) -> int:
              else [out_prefix + "_out_1", out_prefix + "_out_2"])
     files = [open(n, "wb") for n in names]
     total = 0
+    rec = ar.read_len + 1
     try:
         with ThreadPoolExecutor(max_workers=1) as ex:
             pending = []
-            for fi, mat in iter_decoded_chunks(ar):
-                total += mat.shape[0]
+            for fi, data in iter_decoded_line_chunks(ar):
+                total += len(data) // rec
                 pending.append(ex.submit(
-                    lambda f, m: f.write(fastq.reads_lines_bytes(m)),
-                    files[fi], mat))
+                    lambda f, d: f.write(d), files[fi], data))
                 while len(pending) > 2:
                     pending.pop(0).result()
             for fut in pending:

@@ -20,6 +20,7 @@ _SOURCES = [os.path.join(_HERE, "rangecoder.cpp"),
             os.path.join(_HERE, "fastqio.cpp"),
             os.path.join(_HERE, "packcodes.cpp"),
             os.path.join(_HERE, "chainwalk.cpp"),
+            os.path.join(_HERE, "decode.cpp"),
             os.path.join(_HERE, "pgmatch.cpp")]
 
 _lock = threading.Lock()
@@ -117,6 +118,10 @@ def get_lib():
                                     i64p, u8p]
         lib.reads_write_lines.restype = None
         lib.reads_write_lines.argtypes = [u8p, ctypes.c_int64, ctypes.c_int64, u8p]
+        lib.reconstruct_lines_mt.restype = ctypes.c_int64
+        lib.reconstruct_lines_mt.argtypes = [
+            u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
+            u8p, i64p, u8p, u8p, u8p, u8p]
         lib.pg_find_matches.restype = ctypes.c_int64
         lib.pg_find_matches.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
@@ -200,6 +205,46 @@ def fastq_parse_div_into(buf, read_len: int, qcol: int, final_win: bool,
     if r < 0:
         return None
     return int(r), int(consumed.value)
+
+
+def reconstruct_lines(pg, pos, read_len: int, rc=None, mis_cum=None,
+                      mis_sym=None, mis_off=None, dec_lut=None):
+    """Fused decode: pg windows -> rc -> mismatches -> ASCII lines.
+
+    Returns the line bytes ([n*(L+1)] with trailing newlines) or None when
+    native is unavailable (caller falls back to the numpy path)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = pos.shape[0]
+    L = read_len
+    out = np.empty(n * (L + 1), dtype=np.uint8)
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+
+    def p8(a):
+        return a.ctypes.data_as(u8) if a is not None else ctypes.cast(None, u8)
+
+    rc_a = np.ascontiguousarray(rc, dtype=np.uint8) if rc is not None else None
+    cum_a = (np.ascontiguousarray(mis_cum, dtype=np.int64)
+             if mis_cum is not None else None)
+    sym_a = (np.ascontiguousarray(mis_sym, dtype=np.uint8)
+             if mis_sym is not None else None)
+    off_a = (np.ascontiguousarray(mis_off, dtype=np.uint8)
+             if mis_off is not None else None)
+    lut_a = (np.ascontiguousarray(dec_lut, dtype=np.uint8)
+             if dec_lut is not None else None)
+    r = lib.reconstruct_lines_mt(
+        p8(pg), pg.shape[0], pos.ctypes.data_as(i64p), n, L, p8(rc_a),
+        cum_a.ctypes.data_as(i64p) if cum_a is not None
+        else ctypes.cast(None, i64p),
+        p8(sym_a), p8(off_a), p8(lut_a), p8(out))
+    if r != 0:
+        return None
+    return out
 
 
 def lines_parse(buf: bytes, read_len: int = 0):

@@ -1,0 +1,84 @@
+// Fused read-line reconstruction: pg window copy + reverse-complement +
+// mismatch application + ASCII conversion + newline, one pass per read,
+// threaded. Replaces the decoder's separate numpy gather / rc / scatter /
+// format passes — on this host memory bandwidth dominates, so touching the
+// 1-byte-per-base output exactly once is the decode speed-of-light.
+//
+// Mirrors the roles of SeparatedPseudoGenome::getRead (pseudogenome/
+// SeparatedPseudoGenome.cpp:74-130) and writeAllReadsIn*Mode chunk loops
+// (pgrc/pgrc-decoder.cpp:137-527).
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+const uint8_t VAL2SYM_D[5] = {'A', 'C', 'G', 'T', 'N'};
+const uint8_t COMPL_D[5] = {3, 2, 1, 0, 4};
+}  // namespace
+
+extern "C" {
+
+// pg:      [pg_len] symbol codes (0..4)
+// pos:     [n] int64 window starts (0 <= pos[i] <= pg_len - L)
+// rc:      [n] uint8 (0/1) or nullptr
+// mis_cum: [n+1] int64, mis_sym/mis_off: flat streams (uint8) or nullptr
+// dec_lut: [5*4] uint8 (window value, exclusive code) -> value, or nullptr
+//          (then mis_sym low nibble IS the read value: cxt code)
+// out:     [n * (L + 1)] ASCII lines with trailing '\n'
+// Returns 0, or -1 on a malformed offset.
+int64_t reconstruct_lines_mt(const uint8_t *pg, int64_t pg_len,
+                             const int64_t *pos, int64_t n, int64_t L,
+                             const uint8_t *rc, const int64_t *mis_cum,
+                             const uint8_t *mis_sym, const uint8_t *mis_off,
+                             const uint8_t *dec_lut, uint8_t *out) {
+    if (L > 4096) return -1;
+    int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (n < 16384) nthreads = 1;
+    std::vector<int64_t> errs((size_t)nthreads, 0);
+
+    auto work = [&](int64_t t, int64_t lo, int64_t hi) {
+        uint8_t buf[4096];
+        for (int64_t r = lo; r < hi; r++) {
+            const uint8_t *w = pg + pos[r];
+            bool flip = rc && rc[r];
+            if (flip) {
+                for (int64_t i = 0; i < L; i++) {
+                    uint8_t v = w[L - 1 - i];
+                    buf[i] = v < 4 ? COMPL_D[v] : (uint8_t)4;
+                }
+            } else {
+                std::memcpy(buf, w, (size_t)L);
+            }
+            if (mis_cum) {
+                for (int64_t j = mis_cum[r]; j < mis_cum[r + 1]; j++) {
+                    int64_t o = mis_off[j];
+                    if (o >= L) { errs[(size_t)t] = -1; return; }
+                    uint8_t code = mis_sym[j];
+                    uint8_t cur = buf[o];
+                    buf[o] = dec_lut ? dec_lut[(cur > 4 ? 4 : cur) * 4 + (code & 3)]
+                                     : (uint8_t)(code & 0x0F);
+                }
+            }
+            uint8_t *dst = out + r * (L + 1);
+            for (int64_t i = 0; i < L; i++)
+                dst[i] = VAL2SYM_D[buf[i] > 4 ? 4 : buf[i]];
+            dst[L] = '\n';
+        }
+    };
+    if (nthreads == 1) {
+        work(0, 0, n);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t t = 0; t < nthreads; t++)
+            ts.emplace_back(work, t, n * t / nthreads, n * (t + 1) / nthreads);
+        for (auto &th : ts) th.join();
+    }
+    for (auto e : errs)
+        if (e) return e;
+    return 0;
+}
+
+}  // extern "C"
