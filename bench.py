@@ -158,13 +158,15 @@ def main():
                     f"reference {REFERENCE_BITS_PER_BASE}")
 
     extra = {}
-    # --- PE mode row ---
+    # --- PE mode row (cold = pays one-time compiles for PE's shapes) ---
     pe_out = os.path.join(tmpdir, "bench_pe.pgtc")
+    _, pe_cold = _encode(encoder, PgRCParams, src, pe_out, pair_fastq=pair)
     pstats, pdt = _encode(encoder, PgRCParams, src, pe_out, pair_fastq=pair)
     pe_bases = pstats.reads_total * pstats.read_len
     if decoder.validate(pe_out, src, pair)["errors"]:
         return fail("PE round-trip failed")
     extra["pe_mbases_s"] = round(pe_bases / 1e6 / pdt, 3)
+    extra["pe_cold_mbases_s"] = round(pe_bases / 1e6 / pe_cold, 3)
     extra["pe_bits_per_base"] = round(pstats.archive_bytes * 8 / pe_bases, 4)
 
     # --- SE_ORD row ---
