@@ -261,12 +261,20 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         m_codes_out[odd_rows] = packed.revcomp_codes_matrix(m_codes_out[odd_rows])
     # window in decoder orientation
     if m_pos.size:
-        win = hq_pg[m_pos[:, None] + np.arange(L, dtype=np.int64)[None, :]].copy()
-        if m_rc_out.any():
-            win[m_rc_out] = packed.revcomp_codes_matrix(win[m_rc_out])
-        m_cnt, m_sym, m_off = extract_mismatches(
-            m_codes_out, win, L // params.min_chars_per_mismatch
-        )
+        from .. import native
+
+        fast = native.extract_mismatches(
+            hq_pg, m_pos, m_rc_out, m_codes_out,
+            L // params.min_chars_per_mismatch)
+        if fast is not None:
+            m_cnt, m_sym, m_off = fast
+        else:
+            win = hq_pg[m_pos[:, None] + np.arange(L, dtype=np.int64)[None, :]].copy()
+            if m_rc_out.any():
+                win[m_rc_out] = packed.revcomp_codes_matrix(win[m_rc_out])
+            m_cnt, m_sym, m_off = extract_mismatches(
+                m_codes_out, win, L // params.min_chars_per_mismatch
+            )
     else:
         m_cnt = np.zeros(0, np.uint8)
         m_sym = np.zeros(0, np.uint8)

@@ -122,6 +122,10 @@ def get_lib():
         lib.reconstruct_lines_mt.argtypes = [
             u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
             u8p, i64p, u8p, u8p, u8p, u8p]
+        lib.extract_mismatches_mt.restype = ctypes.c_int64
+        lib.extract_mismatches_mt.argtypes = [
+            u8p, i64p, u8p, u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, u8p, u8p, u8p]
         lib.pg_find_matches.restype = ctypes.c_int64
         lib.pg_find_matches.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
@@ -423,3 +427,32 @@ def rc_decode(data: bytes, count: int, order: int, period: int, nsym: int) -> by
     if n != count:
         return None
     return out.raw[:count]
+
+
+def extract_mismatches(pg, pos, rc, codes, max_mis: int):
+    """Native matched-read mismatch extraction (window rebuild + compare).
+
+    Returns (mis_cnt uint8 [n], sym flat uint8, off flat uint8) or None."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, L = codes.shape
+    if n == 0:
+        z = np.zeros(0, dtype=np.uint8)
+        return z, z.copy(), z.copy()
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    rc_a = np.ascontiguousarray(rc, dtype=np.uint8)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    cnt = np.zeros(n, dtype=np.uint8)
+    sym2 = np.empty((n, max_mis), dtype=np.uint8)
+    off2 = np.empty((n, max_mis), dtype=np.uint8)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    total = lib.extract_mismatches_mt(
+        _u8p(pg), pos.ctypes.data_as(i64p), _u8p(rc_a), _u8p(codes),
+        n, L, max_mis, _u8p(cnt), _u8p(sym2), _u8p(off2))
+    if total < 0:
+        return None
+    keep = np.arange(max_mis, dtype=np.int64)[None, :] < cnt[:, None]
+    return cnt, sym2[keep], off2[keep]

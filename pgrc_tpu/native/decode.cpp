@@ -81,4 +81,70 @@ int64_t reconstruct_lines_mt(const uint8_t *pg, int64_t pg_len,
     return 0;
 }
 
+// Encoder-side mismatch extraction for matched reads (the vector form of
+// fillEntryWithMismatches, matching/ReadsMatchers.cpp:40-51): for each row,
+// rebuild the pg window (with optional reverse-complement, matching the
+// final-output orientation), compare to the read codes, and emit cxt codes
+// ((pg_value<<4)|read_value) + offsets. One threaded pass instead of the
+// numpy gather + revcomp + nonzero chain.
+//
+// codes: [n, L] read codes in final orientation; pg/pos/rc as above.
+// mis_cnt: [n] uint8 out; sym/off: [n * max_mis] uint8 out (flat, packed
+// contiguously per row at r*max_mis; caller compacts via mis_cnt).
+// Returns total mismatches, or -1 if a row exceeds max_mis.
+int64_t extract_mismatches_mt(const uint8_t *pg, const int64_t *pos,
+                              const uint8_t *rc, const uint8_t *codes,
+                              int64_t n, int64_t L, int64_t max_mis,
+                              uint8_t *mis_cnt, uint8_t *sym, uint8_t *off) {
+    if (L > 4096) return -1;
+    int64_t nthreads = (int64_t)std::thread::hardware_concurrency();
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (n < 16384) nthreads = 1;
+    std::vector<int64_t> totals((size_t)nthreads, 0);
+
+    auto work = [&](int64_t t, int64_t lo, int64_t hi) {
+        uint8_t buf[4096];
+        int64_t total = 0;
+        for (int64_t r = lo; r < hi; r++) {
+            const uint8_t *w = pg + pos[r];
+            if (rc && rc[r]) {
+                for (int64_t i = 0; i < L; i++) {
+                    uint8_t v = w[L - 1 - i];
+                    buf[i] = v < 4 ? COMPL_D[v] : (uint8_t)4;
+                }
+            } else {
+                std::memcpy(buf, w, (size_t)L);
+            }
+            const uint8_t *c = codes + r * L;
+            int64_t m = 0;
+            for (int64_t i = 0; i < L; i++) {
+                if (buf[i] != c[i]) {
+                    if (m >= max_mis) { totals[(size_t)t] = -1; return; }
+                    sym[r * max_mis + m] = (uint8_t)((buf[i] << 4) | c[i]);
+                    off[r * max_mis + m] = (uint8_t)i;
+                    m++;
+                }
+            }
+            mis_cnt[r] = (uint8_t)m;
+            total += m;
+        }
+        totals[(size_t)t] += total;
+    };
+    if (nthreads == 1) {
+        work(0, 0, n);
+    } else {
+        std::vector<std::thread> ts;
+        for (int64_t t = 0; t < nthreads; t++)
+            ts.emplace_back(work, t, n * t / nthreads, n * (t + 1) / nthreads);
+        for (auto &th : ts) th.join();
+    }
+    int64_t total = 0;
+    for (auto v : totals) {
+        if (v < 0) return -1;
+        total += v;
+    }
+    return total;
+}
+
 }  // extern "C"
