@@ -24,13 +24,12 @@ import numpy as np
 
 from .. import ARCHIVE_MAGIC
 from ..align import matcher as align_matcher
-from ..config import PgRCParams, MODE_SE, MODE_PE, MODE_ORD_SE, MODE_ORD_PE, MODE_MIN_PE, matching_chars_correction
+from ..config import PgRCParams, MODE_PE, MODE_ORD_SE, MODE_ORD_PE, MODE_MIN_PE, matching_chars_correction
 from ..core import fastq, packed
 from ..overlap import greedy_scs
 from ..pg.reconstruct import extract_mismatches
 from ..streams import codecs, props
-from ..streams.codecs import Codec
-from ..streams.container import CompressionJob, write_streams
+from ..streams.container import write_streams
 from ..utils import dna
 from ..utils.varint import write_varint
 from . import chain
