@@ -37,6 +37,9 @@ bases = s2.reads_total * L
 t0 = time.time()
 n_out = decoder.decode_to_files(out, os.path.join(tmp, "bench_10m_dec"))
 dec = time.time() - t0
+# RSS snapshot BEFORE the verification fingerprint (whose own numpy
+# windows would otherwise dominate the peak)
+rss_mb = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
 
 # order-independent multiset fingerprint of input DNA lines vs output lines
 def np_fingerprint(path, rec_lines, seq_line):
@@ -50,7 +53,7 @@ def np_fingerprint(path, rec_lines, seq_line):
     with open(path, "rb") as f:
         lineno = 0
         while True:
-            block = f.read(1 << 27)
+            block = f.read(1 << 25)
             if not block and not rem:
                 break
             buf = rem + block if block else rem
@@ -97,6 +100,5 @@ print(json.dumps({
     "decode_s": round(dec, 1), "decode_mbases_s": round(bases / 1e6 / dec, 2),
     "roundtrip_fingerprint_ok": ok,
     "stage_times_s": {k: round(v, 2) for k, v in s2.stage_times.items()},
-    "peak_rss_mb": round(
-        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
+    "peak_rss_mb": rss_mb,
 }))

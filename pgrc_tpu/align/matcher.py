@@ -475,6 +475,14 @@ def match_reads(
     dev = device_index(index, pg_codes, wide=wide, mesh=mesh)
     offs_full = probe_offsets(L, index.k, k2)
     offs_p1 = _spread_offsets(offs_full, index.k1)
+    # batch rows scale with the index so the join's index side amortizes:
+    # every batch re-sorts the i_pad index entries, so probes per batch
+    # must stay within ~1x of them (at a 54M-symbol pg the old fixed 32k
+    # batches re-sorted a 16.7M-entry index 74 times — over half the 10M-
+    # read encode). Buckets stay powers of two -> few compiled shapes.
+    i_pad = dev[4]
+    b1 = min(1 << 22, max(131072, i_pad // max(len(offs_p1), 1)))
+    b2 = min(1 << 19, max(32768, i_pad // max(len(offs_full), 1)))
 
     # pass 1: BOTH strands at k1 residue-covering spread offsets for every
     # read, verifying the first confirmed anchor (on a strand-mixed input
@@ -486,9 +494,9 @@ def match_reads(
     rc_all[rc_all > 3] = 0  # N probes as A on the RC strand too
     lanes_r, _ = packed.pack_lanes(rc_all)
     fm, fp = _probe_batch(lanes_f, offs_p1, index, dev, max_mismatches,
-                          L, batch_rows=131072, mesh=mesh, wide=wide)
+                          L, batch_rows=b1, mesh=mesh, wide=wide)
     rm, rp = _probe_batch(lanes_r, offs_p1, index, dev, max_mismatches,
-                          L, batch_rows=131072, mesh=mesh, wide=wide)
+                          L, batch_rows=b1, mesh=mesh, wide=wide)
 
     # pass 2: full fan-out on both strands only for unaccepted leftovers,
     # best of the first `cap` confirmed anchors per read
@@ -496,13 +504,13 @@ def match_reads(
     rows = np.nonzero(np.minimum(fm, rm) > accept_mis)[0]
     if rows.size:
         mis_t, pos_t = _probe_batch(lanes_f[rows], offs_full, index, dev,
-                                    max_mismatches, L, batch_rows=32768,
+                                    max_mismatches, L, batch_rows=b2,
                                     mesh=mesh, wide=wide, n_verify=n_verify2)
         better_f = mis_t < fm[rows]
         fm[rows] = np.where(better_f, mis_t, fm[rows])
         fp[rows] = np.where(better_f, pos_t, fp[rows])
         mis_t, pos_t = _probe_batch(lanes_r[rows], offs_full, index, dev,
-                                    max_mismatches, L, batch_rows=32768,
+                                    max_mismatches, L, batch_rows=b2,
                                     mesh=mesh, wide=wide, n_verify=n_verify2)
         better_r = mis_t < rm[rows]
         rm[rows] = np.where(better_r, mis_t, rm[rows])
