@@ -1,46 +1,42 @@
 """Print per-stream compressed sizes of a PGTC archive (ratio analysis).
 
-Usage: python exp_streams.py archive.pgtc
+Traces the decoder's actual record walk (monkeypatched _read_record), so
+every size is exact. Usage: python exp_streams.py archive.pgtc
 """
 import sys
 
 sys.path.insert(0, "/root/repo")
 
-from pgrc_tpu import ARCHIVE_MAGIC
-from pgrc_tpu.utils.varint import read_varint
+from pgrc_tpu.streams import container
+from pgrc_tpu.archive import decoder
 
 path = sys.argv[1]
-buf = open(path, "rb").read()
-assert buf[:4] == ARCHIVE_MAGIC
-pos = 8
-hdr = []
-for name in ("read_len", "reads_total", "hq_count", "lq_count", "n_count",
-             "hq_pg_len", "lq_pg_len", "n_pg_len"):
-    v, pos = read_varint(buf, pos)
-    hdr.append((name, v))
-print(" ".join(f"{k}={v}" for k, v in hdr))
-bases = hdr[0][1] * hdr[1][1]
-print(f"total {len(buf)} B = {len(buf)*8/bases:.4f} bits/base")
+records = []
+orig = container._read_record
 
-# scan forward for well-formed stream records: {u8 coder, u8 p1, u8 p2,
-# varint rawLen, varint compLen, payload} (container._compress_one); the
-# few raw prop blobs between sections are skipped by the validity check
-i = 0
-total = 0
-while pos < len(buf) - 4:
-    try:
-        coder = buf[pos]
-        raw, p2 = read_varint(buf, pos + 3)
-        comp, p3 = read_varint(buf, p2)
-        if coder > 16 or comp > len(buf) - p3 or raw > (1 << 40) or (
-                comp > raw and raw > 0):
-            pos += 1
-            continue
-        print(f"  @{pos:8d} coder={coder:3d} raw={raw:9d} comp={comp:9d} "
-              f"({(comp/max(raw,1))*100:5.1f}%)  [{comp*8/bases:.4f} b/b]")
-        total += comp
-        pos = p3 + comp
-        i += 1
-    except Exception:
-        pos += 1
-print(f"sum of stream payloads: {total} B (header/overhead {len(buf)-total} B)")
+
+def spy(buf, pos):
+    codec, raw_len, payload, npos = orig(buf, pos)
+    records.append((pos, codec.coder_id, raw_len, len(payload)))
+    return codec, raw_len, payload, npos
+
+
+container._read_record = spy
+ar = decoder.load(path)
+container._read_record = orig
+
+import os
+
+total = os.path.getsize(path)
+bases = ar.reads_total * ar.read_len
+print(f"reads={ar.reads_total} L={ar.read_len} hq={ar.hq_count} "
+      f"lq={ar.lq_count} n={ar.n_count} pg={len(ar.hq_pg)}+{len(ar.lq_pg)}"
+      f"+{len(ar.n_pg)}")
+print(f"total {total} B = {total * 8 / bases:.4f} bits/base")
+payload_sum = 0
+for pos, coder, raw, comp in records:
+    print(f"  @{pos:9d} coder={coder:3d} raw={raw:10d} comp={comp:10d} "
+          f"({comp / max(raw, 1) * 100:5.1f}%)  [{comp * 8 / bases:.4f} b/b]")
+    payload_sum += comp
+print(f"sum of stream payloads: {payload_sum} B "
+      f"(headers/props: {total - payload_sum} B)")

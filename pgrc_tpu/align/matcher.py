@@ -60,13 +60,29 @@ class KmerIndex:
         return self.pos_sorted
 
 
+_HASH_BLOCK = 1 << 23
+
+
 def _window_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     """Rolling polynomial hash of every k-window of a 1-D code array:
     H(i) = sum codes[i+t] * B^(k-1-t) mod 2^32, computed via prefix sums of
-    codes[j] * B^(-j) so the whole array is one vectorized pass."""
+    codes[j] * B^(-j). Processed in blocks (k-1 overlap) so the transient
+    working set stays ~4x the block size instead of ~16 bytes per pg symbol
+    (a 54M-symbol pg cost ~0.9 GB of temporaries, twice concurrently with
+    the stage-7 worker thread)."""
     n = codes.shape[0]
     if n < k:
         return np.zeros(0, dtype=np.uint32)
+    out = np.empty(n - k + 1, dtype=np.uint32)
+    step = _HASH_BLOCK
+    for lo in range(0, n - k + 1, step):
+        hi = min(lo + step + k - 1, n)
+        _window_hashes_block(codes[lo:hi], k, out[lo : hi - k + 1])
+    return out
+
+
+def _window_hashes_block(codes: np.ndarray, k: int, out: np.ndarray) -> None:
+    n = codes.shape[0]
     # inv_pows[j] = B^-j; uint32 cumprod wraps mod 2^32, which IS the hash ring
     inv_pows = np.full(n, np.uint32(HASH_BASE_INV), dtype=np.uint32)
     inv_pows[0] = 1
@@ -78,7 +94,7 @@ def _window_hashes(codes: np.ndarray, k: int) -> np.ndarray:
     mult = np.full(nwin, np.uint32(HASH_BASE), dtype=np.uint32)
     mult[0] = np.uint32(pow(int(HASH_BASE), k - 1, 1 << 32))
     np.cumprod(mult, out=mult)
-    return (s[k : k + nwin] - s[:nwin]) * mult
+    np.multiply(s[k : k + nwin] - s[:nwin], mult, out=out)
 
 
 def build_index(

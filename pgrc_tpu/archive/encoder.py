@@ -83,6 +83,22 @@ _save_ckpt = chain.save_ckpt
 _load_ckpt = chain.load_ckpt
 
 
+
+
+def _stage_done(t: dict, key: str, t0: float) -> None:
+    """Record a stage's wall time; with PGRC_TPU_RSS_TRACE=1, also print
+    the process high-water RSS after the stage (memory observability)."""
+    import os
+    import time as _time
+
+    t[key] = _time.time() - t0
+    if os.environ.get("PGRC_TPU_RSS_TRACE"):
+        import resource
+
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        print(f"[rss] after {key}: {rss} MB", flush=True)
+
+
 def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> EncodeStats:
     """Run the 7-stage encoder chain.
 
@@ -120,7 +136,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         raise ValueError("constant-length reads up to 255 bp supported (reference parity)")
     n_total = reads.count
     stats.reads_total, stats.read_len = n_total, L
-    t["input"] = time.time() - t0
+    _stage_done(t, "input", t0)
 
     # ---- stage 1: quality division ----
     t0 = time.time()
@@ -144,7 +160,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         hq_idx = ck.get("hq_idx", empty)
         lq_idx = ck.get("lq_idx", empty)
         n_idx = ck.get("n_idx", empty)
-    t["div"] = time.time() - t0
+    _stage_done(t, "div", t0)
     if E == 1:
         _save_ckpt(params, 1, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx)
         return stats
@@ -159,7 +175,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
             lq_idx = np.concatenate([lq_idx, hq_idx[~keep]])
             lq_idx.sort()
             hq_idx = hq_idx[keep]
-    t["pgdiv"] = time.time() - t0
+    _stage_done(t, "pgdiv", t0)
     _dump_validation(params, "stage2", hq_idx=hq_idx, lq_idx=lq_idx,
                      n_idx=n_idx)
     if E == 2:
@@ -177,7 +193,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         # the merged entries instead
         hq_org = ck.get("hq_org", np.zeros(0, dtype=np.int64))
         hq_pos = ck.get("hq_pos", np.zeros(0, dtype=np.int64))
-    t["good"] = time.time() - t0
+    _stage_done(t, "good", t0)
     _dump_validation(params, "stage3", hq_pg=hq_pg)
     if E == 3:
         _save_ckpt(params, 3, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx,
@@ -308,7 +324,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
     unmatched = ~matched
     lq_un = cand_idx[unmatched & (np.arange(cand_idx.size) < n_begin)]
     n_un = cand_idx[unmatched & (np.arange(cand_idx.size) >= n_begin)]
-    t["match"] = time.time() - t0
+    _stage_done(t, "match", t0)
     if params.dump_validation_files and cand_idx.size:
         _dump_validation(
             params, "stage4",
@@ -363,7 +379,7 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
         n_org = n_un[n_order] if n_un.size else np.zeros(0, dtype=np.int64)
     stats.lq_count, stats.n_count = lq_org.size, n_org.size
     stats.hq_pg_len, stats.lq_pg_len, stats.n_pg_len = len(hq_pg), len(lq_pg), len(n_pg)
-    t["bad"] = time.time() - t0
+    _stage_done(t, "bad", t0)
     if params.end_stage == 5:
         _save_ckpt(params, 5, lq_pg=lq_pg, lq_org=lq_org, lq_pos=lq_pos,
                    n_pg=n_pg, n_org=n_org, n_pos=n_pos, hq_pg=hq_pg,
@@ -416,7 +432,7 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
             order_enc.encode_positions_pe(out, pos_by_org)
         else:
             order_enc.encode_positions_se(out, pos_by_org)
-    t["order"] = time.time() - t0
+    _stage_done(t, "order", t0)
 
     # ---- stage 7: pg sequences ----
     t0 = time.time()
@@ -425,7 +441,7 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
         params.compression_level,
         self_match_pre=s7_fut.result() if s7_fut is not None else None,
     )
-    t["pgseq"] = time.time() - t0
+    _stage_done(t, "pgseq", t0)
 
     blob = out.getvalue()
     stats.archive_bytes = len(blob)

@@ -586,6 +586,10 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None) -> OverlapRes
         nmask_d = (nmask_np if has_n
                    else np.zeros((n_pad, 1), dtype=np.uint32))
         ids = np.arange(n_pad, dtype=np.int32)
+    else:
+        # the packed host copy (~0.5 GB at 10M reads) is only needed for
+        # the mesh path's host-numpy inputs; free it once on device
+        lanes_np = nmask_np = None
     h, p = h0, h0
     h2, p2 = h0b, h0b
     # pending links in ROW space (merged elementwise each round, flushed to
