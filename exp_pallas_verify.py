@@ -15,9 +15,20 @@ import time
 sys.path.insert(0, "/root/repo")
 import numpy as np
 
-from pgrc_tpu.overlap.greedy_scs import _jax
+# Mosaic rejects 64-bit types; run this experiment WITHOUT x64 (the
+# production probe keeps positions i32 in the standard path anyway)
+import os as _os
 
-jax, jnp = _jax()
+_os.environ["JAX_ENABLE_X64"] = "0"
+import jax
+
+env_plat = _os.environ.get("JAX_PLATFORMS")
+if env_plat:
+    try:
+        jax.config.update("jax_platforms", env_plat)
+    except RuntimeError:
+        pass
+import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -58,7 +69,8 @@ def kernel(pg_ref, rl_ref, st_ref, out_ref):
 
     def row_body(i, _):
         rl = rl_ref[i, :][None, :] & mask            # [1, 8]
-        def s_body(s, acc):
+        vals = []
+        for s in range(S):                            # static unroll
             start = st_ref[i, s]
             q = start >> 4
             sh = ((start & 15) << 1).astype(jnp.uint32)
@@ -69,10 +81,8 @@ def kernel(pg_ref, rl_ref, st_ref, out_ref):
             aligned = (hi | lo) & mask
             x = aligned ^ rl
             y = (x | (x >> jnp.uint32(1))) & jnp.uint32(0x55555555)
-            mis = popcount(y).sum(dtype=jnp.int32)
-            out_ref[i, s] = mis
-            return acc
-        jax.lax.fori_loop(0, S, s_body, 0)
+            vals.append(popcount(y).sum(dtype=jnp.int32))
+        out_ref[i, :] = jnp.stack(vals)               # vector store
         return _
 
     jax.lax.fori_loop(0, TILE, row_body, 0)
