@@ -509,28 +509,31 @@ def match_reads(
     rc_all = packed.revcomp_codes_matrix(read_codes)
     rc_all[rc_all > 3] = 0  # N probes as A on the RC strand too
     lanes_r, _ = packed.pack_lanes(rc_all)
-    fm, fp = _probe_batch(lanes_f, offs_p1, index, dev, max_mismatches,
+    # both strands go through ONE probe dispatch as [fwd; rc] row blocks:
+    # on the tunneled device, per-call latency rivals the compute, so
+    # halving the dispatch count nearly halves small-batch pass time
+    lanes_fr = np.concatenate([lanes_f, lanes_r])
+    bm, bp = _probe_batch(lanes_fr, offs_p1, index, dev, max_mismatches,
                           L, batch_rows=b1, mesh=mesh, wide=wide)
-    rm, rp = _probe_batch(lanes_r, offs_p1, index, dev, max_mismatches,
-                          L, batch_rows=b1, mesh=mesh, wide=wide)
+    fm, rm = bm[:n].copy(), bm[n:].copy()
+    fp, rp = bp[:n].copy(), bp[n:].copy()
 
     # pass 2: full fan-out on both strands only for unaccepted leftovers,
     # best of the first `cap` confirmed anchors per read
     n_verify2 = max(2, min(cap, 6))
     rows = np.nonzero(np.minimum(fm, rm) > accept_mis)[0]
     if rows.size:
-        mis_t, pos_t = _probe_batch(lanes_f[rows], offs_full, index, dev,
+        sub = np.concatenate([lanes_f[rows], lanes_r[rows]])
+        mis_t, pos_t = _probe_batch(sub, offs_full, index, dev,
                                     max_mismatches, L, batch_rows=b2,
                                     mesh=mesh, wide=wide, n_verify=n_verify2)
-        better_f = mis_t < fm[rows]
-        fm[rows] = np.where(better_f, mis_t, fm[rows])
-        fp[rows] = np.where(better_f, pos_t, fp[rows])
-        mis_t, pos_t = _probe_batch(lanes_r[rows], offs_full, index, dev,
-                                    max_mismatches, L, batch_rows=b2,
-                                    mesh=mesh, wide=wide, n_verify=n_verify2)
-        better_r = mis_t < rm[rows]
-        rm[rows] = np.where(better_r, mis_t, rm[rows])
-        rp[rows] = np.where(better_r, pos_t, rp[rows])
+        k = rows.size
+        better_f = mis_t[:k] < fm[rows]
+        fm[rows] = np.where(better_f, mis_t[:k], fm[rows])
+        fp[rows] = np.where(better_f, pos_t[:k], fp[rows])
+        better_r = mis_t[k:] < rm[rows]
+        rm[rows] = np.where(better_r, mis_t[k:], rm[rows])
+        rp[rows] = np.where(better_r, pos_t[k:], rp[rows])
 
     # pass 3: interleaved-anchor rescue for reads both device passes missed
     # (burst errors can kill every contiguous k-mer anchor; an interleaved
