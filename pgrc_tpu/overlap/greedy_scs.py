@@ -362,6 +362,9 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
             # entry payload identifying a row across devices: the global id
             # doubles as the global row (no compaction under mesh)
             rows = ids
+            # NOTE: jax.lax.pvary is deprecated in favor of pcast, but in
+            # this jax build pcast(to='varying') mis-infers the mesh axes
+            # here (3 mesh tests fail); keep pvary until pcast stabilizes
             succ_g = jax.lax.pvary(succ_g, axis)
             ovl_g = jax.lax.pvary(ovl_g, axis)
         else:
