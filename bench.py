@@ -228,10 +228,12 @@ def main():
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
 
     # throughput-scaling gate: large inputs must not fall behind the 200k
-    # point (the r3 scale collapse shipped without tripping any gate)
-    if "scale_mbases_s" in extra and extra["scale_mbases_s"] < 0.8 * mbases_s:
+    # point (the r3 scale collapse shipped without tripping any gate; its
+    # ratio was 0.42x). 0.6x leaves headroom for the tunneled TPU's
+    # observed +-35% run-to-run variance while still catching a collapse.
+    if "scale_mbases_s" in extra and extra["scale_mbases_s"] < 0.6 * mbases_s:
         return fail(f"scale throughput {extra['scale_mbases_s']} fell below "
-                    f"0.8x the {n_reads}-read point ({mbases_s:.2f})")
+                    f"0.6x the {n_reads}-read point ({mbases_s:.2f})")
     # memory gate: bounded-memory operation at scale (VERDICT r3 #2)
     if extra["peak_rss_mb"] > 6144 and n_scale <= 2_000_000:
         return fail(f"peak RSS {extra['peak_rss_mb']} MB exceeds 6 GB budget")
