@@ -50,9 +50,10 @@ class KmerIndex:
     k: int
     k1: int
     pg_len: int
-    # False = entries unsorted; device_index sorts them on the TPU (one
-    # cheap kv-sort) instead of a host argsort — the host argsort was a
-    # prime scale suspect (0.6 s at a 10M-symbol pg, single-threaded)
+    # False = entries unsorted (sampling order). The sort-merge probe does
+    # NOT need a sorted index (its min-position carry is order-independent);
+    # only host consumers doing searchsorted equal-range lookups
+    # (archive/pg_match.py) need sorted=True.
     sorted: bool = True
 
     @property
@@ -121,7 +122,7 @@ def build_index(
     sampled = np.arange(0, n - k + 1, k1, dtype=np.int64)
     hs = hashes[sampled]
     if device_sort:
-        # defer the (hash, pos) sort to device_index — one TPU kv-sort
+        # the probe join needs no pre-sorted index at all — skip the sort
         return KmerIndex(hash_sorted=hs, pos_sorted=sampled,
                          k=k, k1=k1, pg_len=n, sorted=False)
     order = np.argsort(hs, kind="stable")  # pos ascending within a run
@@ -380,12 +381,17 @@ class MatchResult:
 
 def _probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows,
                  mesh=None, wide=False, n_verify=1):
-    """Probe a [R, W+1] u32 lane batch in bucketed chunks."""
+    """Probe a [R, W+1] u32 lane batch in bucketed chunks.
+
+    `dev` may carry several index BLOCKS (wide pgs whose sampled index
+    exceeds the join's 2^29-entry program limit, the analog of the
+    reference's uint_pg_len widening): each batch probes every block and
+    results merge by the deterministic (mismatches, position) minimum."""
     jax, jnp = _jax()
     n = rows_lanes.shape[0]
     out_mis = np.full(n, 255, dtype=np.uint8)
     out_pos = np.full(n, -1, dtype=np.int64)
-    ihash_d, ipos_d, pg_lanes_d, pg_lanes_len, i_pad = dev
+    blocks, pg_lanes_d, pg_lanes_len, i_pad = dev
     D = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     if D == 1:
         mesh = None
@@ -405,18 +411,35 @@ def _probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows,
         # under a mesh, pass host numpy (placed per in_specs on every
         # process); single-device commits to the local chip
         lanes_in = lanes if mesh is not None else jnp.asarray(lanes)
-        mis, pos = probe_fn(
-            lanes_in, ihash_d, ipos_d, pg_lanes_d, index.pg_len,
-        )
-        mis_h, pos_h = jax.device_get((mis, pos))
-        out_mis[lo:hi] = mis_h[:bn]
-        out_pos[lo:hi] = pos_h[:bn]
+        for ihash_d, ipos_d in blocks:
+            mis, pos = probe_fn(
+                lanes_in, ihash_d, ipos_d, pg_lanes_d, index.pg_len,
+            )
+            mis_h, pos_h = jax.device_get((mis, pos))
+            mis_b, pos_b = mis_h[:bn], pos_h[:bn].astype(np.int64)
+            cur_m, cur_p = out_mis[lo:hi], out_pos[lo:hi]
+            better = (mis_b < cur_m) | (
+                (mis_b == cur_m) & (pos_b >= 0)
+                & ((cur_p < 0) | (pos_b < cur_p)))
+            out_mis[lo:hi] = np.where(better, mis_b, cur_m)
+            out_pos[lo:hi] = np.where(better, pos_b, cur_p)
     return out_mis, out_pos
 
 
+# join entries per index block: a wide pg's sampled index (up to 2^33
+# entries at 2^35 symbols / k1=4) is probed block by block, each block's
+# join staying under the program's 2^29-entry limit
+_MAX_INDEX_BLOCK = 1 << 27
+
+
 def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
-                 mesh=None):
-    """Upload the sorted index + packed pg text once per stage.
+                 mesh=None, max_block: int | None = None):
+    """Upload the index + packed pg text once per stage.
+
+    The sort-merge probe needs NO pre-sorted index side (its min-position
+    carry is order-independent), so index entries upload as-is; oversized
+    indexes split into uniform blocks probed separately and merged by
+    (mismatches, position) — see _probe_batch.
 
     Under a mesh the arrays stay host-side numpy: the jitted shard_map
     places them per its replicated in_specs on every call, which works
@@ -426,33 +449,22 @@ def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
     pg_lanes = packed.pack_text_2bit(pg_codes)
     pg_lanes = _pad_1d(np.concatenate([pg_lanes, np.zeros(1, np.uint32)]),
                        _probe_bucket(len(pg_lanes) + 1))
-    i_pad = _probe_bucket(max(index.pos_sorted.size, 1))
-    ihash = _pad_1d(index.hash_sorted, i_pad)
-    # pad positions with -1: the probe treats negative-pos entries as inert
-    ipos = np.full(i_pad, -1, dtype=np.int64 if wide else np.int32)
-    ipos[: index.pos_sorted.size] = index.pos_sorted
+    max_block = max_block or _MAX_INDEX_BLOCK
+    n_ent = index.pos_sorted.size
+    n_blocks = max(1, -(-n_ent // max_block))
+    per = -(-max(n_ent, 1) // n_blocks)
+    i_pad = _probe_bucket(per)
     conv = (lambda a: a) if mesh is not None else jnp.asarray
-    ihash_d, ipos_d = conv(ihash), conv(ipos)
-    if not index.sorted and mesh is None:
-        key = ("isort", i_pad, ipos.dtype.str)
-        if key not in _PROBE_CACHE:
-            _PROBE_CACHE[key] = jax.jit(
-                lambda h, p: jax.lax.sort((h, p), num_keys=1, is_stable=True))
-        ihash_d, ipos_d = _PROBE_CACHE[key](ihash_d, ipos_d)
-    elif not index.sorted:
-        # multi-host meshes keep host arrays; sort on host
-        order = np.argsort(index.hash_sorted, kind="stable")
-        ihash = _pad_1d(index.hash_sorted[order], i_pad)
-        ipos = np.full(i_pad, -1, dtype=np.int64 if wide else np.int32)
-        ipos[: index.pos_sorted.size] = index.pos_sorted[order]
-        ihash_d, ipos_d = ihash, ipos
-    return (
-        ihash_d,
-        ipos_d,
-        conv(pg_lanes),
-        len(pg_lanes),
-        i_pad,
-    )
+    blocks = []
+    pos_dt = np.int64 if wide else np.int32
+    for b in range(n_blocks):
+        lo, hi = b * per, min((b + 1) * per, n_ent)
+        ihash = _pad_1d(index.hash_sorted[lo:hi], i_pad)
+        # pad positions with -1: the probe treats negative-pos entries as inert
+        ipos = np.full(i_pad, -1, dtype=pos_dt)
+        ipos[: hi - lo] = index.pos_sorted[lo:hi]
+        blocks.append((conv(ihash), conv(ipos)))
+    return (blocks, conv(pg_lanes), len(pg_lanes), i_pad)
 
 
 def match_reads(
@@ -466,6 +478,7 @@ def match_reads(
     accept_mis: int = 2,
     mesh=None,
     force_wide: bool = False,
+    index_block: int | None = None,
 ) -> MatchResult:
     """Match every read against the indexed pg, forward-first.
 
@@ -488,17 +501,20 @@ def match_reads(
             "pg longer than 2^35 symbols exceeds i32 lane indexing"
         )
 
-    dev = device_index(index, pg_codes, wide=wide, mesh=mesh)
+    dev = device_index(index, pg_codes, wide=wide, mesh=mesh,
+                       max_block=index_block)
     offs_full = probe_offsets(L, index.k, k2)
     offs_p1 = _spread_offsets(offs_full, index.k1)
     # batch rows scale with the index so the join's index side amortizes:
     # every batch re-sorts the i_pad index entries, so probes per batch
     # must stay within ~1x of them (at a 54M-symbol pg the old fixed 32k
     # batches re-sorted a 16.7M-entry index 74 times — over half the 10M-
-    # read encode). Buckets stay powers of two -> few compiled shapes.
-    i_pad = dev[4]
-    b1 = min(1 << 22, max(131072, i_pad // max(len(offs_p1), 1)))
-    b2 = min(1 << 19, max(32768, i_pad // max(len(offs_full), 1)))
+    # read encode). Batch sizes are floored to a power of two (and i_pad
+    # is one already), so a full batch never mints a non-pow2 compiled
+    # shape and always divides evenly across mesh devices.
+    i_pad = dev[3]
+    b1 = min(1 << 22, max(131072, _pow2_floor(i_pad // max(len(offs_p1), 1))))
+    b2 = min(1 << 19, max(32768, _pow2_floor(i_pad // max(len(offs_full), 1))))
 
     # pass 1: BOTH strands at k1 residue-covering spread offsets for every
     # read, verifying the first confirmed anchor (on a strand-mixed input
@@ -640,6 +656,10 @@ def _interleaved_rescue(read_codes: np.ndarray, pg_codes: np.ndarray,
             out_mis[rr[better]] = mis[better].astype(np.uint8)
             out_pos[rr[better]] = st[better]
     return out_mis, out_pos
+
+
+def _pow2_floor(x: int) -> int:
+    return 1 << (max(int(x), 1).bit_length() - 1)
 
 
 def _probe_bucket(n: int) -> int:

@@ -1,18 +1,14 @@
-"""Shared chain state + the stage-checkpoint schema.
+"""The stage-checkpoint schema (the chain-state persistence role).
 
-PgRCData mirrors the reference's shared chain-data object (pgrc/pgrc-data.h:
-11-42: the divided reads sets, the three pseudogenomes, and the order
-vectors) for the 7-stage encoder chain; the encoder threads one instance
-through the stages instead of ad-hoc locals when resuming.
-
-The -B/-E stage bisection (reference pgrc-params.h:299-317) persists chain
-state between runs. CHECKPOINT_SCHEMA formalizes exactly which arrays each
-stage checkpoint carries; save/load validate against it so a stale or
+The reference threads a shared chain-data object through its 7 stages
+(pgrc/pgrc-data.h:11-42: divided reads sets, the three pseudogenomes, order
+vectors); our encoder passes the equivalent arrays as stage-local values and
+this module owns their persisted form for -B/-E stage bisection (reference
+pgrc-params.h:299-317). CHECKPOINT_SCHEMA formalizes exactly which arrays
+each stage checkpoint carries; save/load validate against it so a stale or
 mismatched checkpoint fails loudly instead of KeyError-ing mid-chain.
 """
 from __future__ import annotations
-
-from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -29,32 +25,6 @@ CHECKPOINT_SCHEMA: dict[int, tuple[str, ...]] = {
         "e_mis_cnt", "e_mis_sym", "e_mis_off", "hq_pg",
         "lq_pg", "lq_org", "lq_pos", "n_pg", "n_org", "n_pos"),
 }
-
-
-@dataclass
-class PgRCData:
-    """Chain state shared between encoder stages (pgrc-data.h:11 role)."""
-
-    # stage 1/2: division index arrays into the original read matrix
-    hq_idx: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    lq_idx: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    n_idx: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    # stage 3: hq pseudogenome + its reads-list order/positions
-    hq_pg: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
-    hq_org: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    hq_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    # stage 4: merged hq entries (base + matched) and unmatched leftovers
-    hq_entries: dict = field(default_factory=dict)
-    lq_un: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    n_un: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    matched_count: int = 0
-    # stage 5: lq / N pseudogenomes
-    lq_pg: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
-    lq_org: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    lq_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    n_pg: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
-    n_org: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
-    n_pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
 
 
 def ckpt_path(params, stage: int) -> str:

@@ -218,8 +218,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
                       ck["n_pg"], ck["n_org"], ck["n_pos"])
         return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
                             ck.get("lq_un", empty), ck.get("n_un", empty),
-                            out_path, stage5, mesh=mesh,
-                            s7_fut=_submit_self_match(params, hq_pg))
+                            out_path, stage5, mesh=mesh, s7_fut=s7_fut)
     cand_idx = np.concatenate([lq_idx, n_idx]) if params.separate_n_reads else lq_idx
     n_begin = lq_idx.size
     if cand_idx.size and hq_pg.size >= L:

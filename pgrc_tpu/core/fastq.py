@@ -250,6 +250,11 @@ def _parse_divided_file_native(path: str, L: int, qcol: int, codes, hq, nf,
             if res is None:
                 return None
             n_parsed, consumed = res
+            if n_parsed == 0 and consumed == 0 and total >= len(ba):
+                # a partial record filled the whole window (malformed input,
+                # e.g. a '@'-leading file with no newlines): no progress is
+                # possible — fall back instead of looping forever
+                return None
             rows += n_parsed
             rem = total - consumed
             if rem:

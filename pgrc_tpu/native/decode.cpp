@@ -42,6 +42,11 @@ int64_t reconstruct_lines_mt(const uint8_t *pg, int64_t pg_len,
     auto work = [&](int64_t t, int64_t lo, int64_t hi) {
         uint8_t buf[4096];
         for (int64_t r = lo; r < hi; r++) {
+            // a corrupt/adversarial archive must fail cleanly, not read OOB
+            if (pos[r] < 0 || pos[r] > pg_len - L) {
+                errs[(size_t)t] = -1;
+                return;
+            }
             const uint8_t *w = pg + pos[r];
             bool flip = rc && rc[r];
             if (flip) {

@@ -90,6 +90,34 @@ def test_wide_probe_equivalent():
     assert (r1.pos >= 0).mean() > 0.9
 
 
+def test_blocked_index_probe():
+    """A wide pg whose sampled index exceeds the join program limit is
+    probed in index BLOCKS merged by (mismatches, position); with tiny
+    forced blocks the result must still find (essentially) every read —
+    block boundaries may pick a different equal-quality position, so the
+    check is on match quality, not position identity."""
+    import numpy as np
+    from pgrc_tpu.align import matcher as am
+
+    rng = np.random.default_rng(6)
+    pg = rng.integers(0, 4, size=20000).astype(np.uint8)
+    starts = rng.integers(0, pg.size - 80, size=400)
+    reads = pg[starts[:, None] + np.arange(80)[None, :]].copy()
+    err = rng.random(reads.shape) < 0.01
+    reads[err] = (reads[err] + 1) % 4
+    index = am.build_index(pg, k=24, bits=16)
+    r1 = am.match_reads(reads, index, pg, max_mismatches=20, force_wide=True)
+    r2 = am.match_reads(reads, index, pg, max_mismatches=20, force_wide=True,
+                        index_block=512)  # ~10 blocks of the 5k-entry index
+    assert (r2.mis != 255).mean() >= (r1.mis != 255).mean() - 0.01
+    # every blocked match must verify exactly
+    from pgrc_tpu.core import packed as pk
+    for i in np.nonzero(r2.mis != 255)[0][:100]:
+        win = pg[r2.pos[i] : r2.pos[i] + 80]
+        dec = win if not r2.rc[i] else pk.revcomp_codes_matrix(win[None])[0]
+        assert (dec != reads[i]).sum() == r2.mis[i]
+
+
 def test_burst_error_rescue():
     """Reads with an error burst that kills every contiguous k-mer anchor
     must still match via the interleaved rescue pass (the
