@@ -165,13 +165,24 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         _save_ckpt(params, 1, hq_idx=hq_idx, lq_idx=lq_idx, n_idx=n_idx)
         return stats
 
-    # ---- stage 2: generator-based division ----
+    # ---- stages 2+3: generator-based division + HQ pg generation.
+    # When both run in this invocation they FUSE into one full-depth sweep
+    # (greedy_scs.divide_and_generate): the division is derived from the
+    # sweep's own links (bit-identical keep mask) and only the cut link
+    # ends pay a small repair sweep — the reference instead runs two
+    # complete generator executions (pgrc-encoder.cpp:286-341). ----
     t0 = time.time()
+    fused = None
     if B <= 2:
         if params.gen_quality_coef > 0 and hq_idx.size > 1:
-            res = greedy_scs.find_overlaps(codes[hq_idx], coef=params.gen_quality_coef,
-                                           mesh=mesh)
-            keep = greedy_scs.both_sides_overlapped(res)
+            if E >= 3:
+                keep, f_pg, f_order, f_pos = greedy_scs.divide_and_generate(
+                    codes[hq_idx], params.gen_quality_coef, mesh=mesh)
+                fused = (f_pg, f_order, f_pos)
+            else:
+                res = greedy_scs.find_overlaps(
+                    codes[hq_idx], coef=params.gen_quality_coef, mesh=mesh)
+                keep = greedy_scs.both_sides_overlapped(res)
             lq_idx = np.concatenate([lq_idx, hq_idx[~keep]])
             lq_idx.sort()
             hq_idx = hq_idx[keep]
@@ -184,7 +195,10 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
 
     # ---- stage 3: HQ pg generation ----
     t0 = time.time()
-    if B <= 3:
+    if fused is not None:
+        hq_pg, hq_order, hq_pos = fused
+        hq_org = hq_idx[hq_order] if hq_idx.size else np.zeros(0, dtype=np.int64)
+    elif B <= 3:
         hq_pg, hq_order, hq_pos = greedy_scs.generate_pseudogenome(codes[hq_idx], mesh=mesh)
         hq_org = hq_idx[hq_order] if hq_idx.size else np.zeros(0, dtype=np.int64)
     else:
