@@ -46,7 +46,11 @@ NOT_MATCHED = np.uint8(255)
 @dataclass
 class KmerIndex:
     hash_sorted: np.ndarray  # [P] uint32 full k-mer hashes (ascending when
-    pos_sorted: np.ndarray   # `sorted`); [P] int64 pg position per entry
+    pos_sorted: np.ndarray   # `sorted`); [P] int64 pg position per entry.
+    # Both are None for a LAZY index (device_sort=True): the probe builds
+    # the (hash, pos) table ON DEVICE from the packed pg upload — 16x fewer
+    # bytes over the (tunneled) host<->device link than uploading the
+    # host-built table.
     k: int
     k1: int
     pg_len: int
@@ -57,7 +61,17 @@ class KmerIndex:
     sorted: bool = True
 
     @property
+    def n_entries(self) -> int:
+        if self.pos_sorted is not None:
+            return self.pos_sorted.size
+        nw = self.pg_len - self.k + 1  # sampled at stride k1
+        return 0 if nw <= 0 else -(-nw // self.k1)
+
+    @property
     def positions(self) -> np.ndarray:  # back-compat introspection
+        if self.pos_sorted is None:
+            return np.arange(0, max(self.pg_len - self.k + 1, 0), self.k1,
+                             dtype=np.int64)
         return self.pos_sorted
 
 
@@ -118,13 +132,14 @@ def build_index(
         return KmerIndex(hash_sorted=np.zeros(0, dtype=np.uint32),
                          pos_sorted=np.zeros(0, dtype=np.int64),
                          k=k, k1=k1, pg_len=n)
+    if device_sort:
+        # LAZY: the probe builds the (hash, pos) table on device from the
+        # packed pg itself (device_index), so no host hashing at all
+        return KmerIndex(hash_sorted=None, pos_sorted=None,
+                         k=k, k1=k1, pg_len=n, sorted=False)
     hashes = _window_hashes(pg_codes, k)
     sampled = np.arange(0, n - k + 1, k1, dtype=np.int64)
     hs = hashes[sampled]
-    if device_sort:
-        # the probe join needs no pre-sorted index at all — skip the sort
-        return KmerIndex(hash_sorted=hs, pos_sorted=sampled,
-                         k=k, k1=k1, pg_len=n, sorted=False)
     order = np.argsort(hs, kind="stable")  # pos ascending within a run
     return KmerIndex(hash_sorted=hs[order], pos_sorted=sampled[order],
                      k=k, k1=k1, pg_len=n)
@@ -432,6 +447,47 @@ def _probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows,
 _MAX_INDEX_BLOCK = 1 << 27
 
 
+def _build_index_build_fn(wp: int, k: int, k1: int, wide: bool):
+    """Device program building the sampled k-mer table from packed pg lanes.
+
+    Input: pg_lanes [wp] u32 (2-bit packed, zero-padded to a pow2 bucket),
+    pg_len scalar. Output: (ihash [m] u32, ipos [m] i32/i64) with m =
+    wp*16//k1 (a power of two when wp and k1 are), positions past
+    pg_len-k marked -1 (inert to the probe join).
+
+    Replaces the host _window_hashes + 12-bytes/entry table upload with a
+    2-bit/symbol pg upload the probe needs anyway — the host<->device link
+    is the scarce resource (CopMEMMatcher.cpp:139-324's index build,
+    re-homed onto the chip)."""
+    jax, jnp = _jax()
+    ns = wp * 16          # padded symbol count
+    m = ns // k1
+    pos_t = jnp.int64 if wide else jnp.int32
+
+    def build_fn(pg_lanes, pg_len):
+        sh = jnp.arange(15, -1, -1, dtype=jnp.uint32) * jnp.uint32(2)
+        codes = ((pg_lanes[:, None] >> sh[None, :]) & jnp.uint32(3)).reshape(ns)
+        # inv_pows[j] = B^-j (u32 cumprod wraps mod 2^32 — the hash ring)
+        inv = jnp.full((ns,), jnp.uint32(HASH_BASE_INV))
+        inv = inv.at[0].set(jnp.uint32(1))
+        inv_pows = jnp.cumprod(inv)
+        s = jnp.concatenate([jnp.zeros((1,), jnp.uint32),
+                             jnp.cumsum(codes * inv_pows, dtype=jnp.uint32),
+                             jnp.zeros((k,), jnp.uint32)])
+        s_p = s[: m * k1].reshape(m, k1)[:, 0]
+        s_pk = jax.lax.dynamic_slice_in_dim(s, k, m * k1).reshape(m, k1)[:, 0]
+        # mult[i] = B^(i*k1 + k - 1)
+        mul = jnp.full((m,), jnp.uint32(pow(int(HASH_BASE), k1, 1 << 32)))
+        mul = mul.at[0].set(jnp.uint32(pow(int(HASH_BASE), k - 1, 1 << 32)))
+        mult = jnp.cumprod(mul)
+        ihash = (s_pk - s_p) * mult
+        pos = (jnp.arange(m, dtype=pos_t) * pos_t(k1))
+        ipos = jnp.where(pos <= pg_len - k, pos, pos_t(-1))
+        return ihash, ipos
+
+    return jax.jit(build_fn)
+
+
 def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
                  mesh=None, max_block: int | None = None):
     """Upload the index + packed pg text once per stage.
@@ -450,11 +506,30 @@ def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
     pg_lanes = _pad_1d(np.concatenate([pg_lanes, np.zeros(1, np.uint32)]),
                        _probe_bucket(len(pg_lanes) + 1))
     max_block = max_block or _MAX_INDEX_BLOCK
+    wp = len(pg_lanes)
+    conv = (lambda a: a) if mesh is not None else jnp.asarray
+    if (index.hash_sorted is None and mesh is None
+            and wp * 16 // index.k1 <= max_block):
+        # lazy index: ONE pg upload (2 bit/symbol), table built on device
+        pg_lanes_d = jnp.asarray(pg_lanes)
+        key = ("ibuild", wp, index.k, index.k1, wide)
+        if key not in _PROBE_CACHE:
+            _PROBE_CACHE[key] = _build_index_build_fn(wp, index.k, index.k1,
+                                                      wide)
+        ihash_d, ipos_d = _PROBE_CACHE[key](pg_lanes_d, index.pg_len)
+        return ([(ihash_d, ipos_d)], pg_lanes_d, wp, wp * 16 // index.k1)
+    if index.hash_sorted is None:
+        # mesh replication / blocked-wide path: host-built table
+        hashes = _window_hashes(pg_codes, index.k)
+        sampled = np.arange(0, index.pg_len - index.k + 1, index.k1,
+                            dtype=np.int64)
+        index = KmerIndex(hash_sorted=hashes[sampled], pos_sorted=sampled,
+                          k=index.k, k1=index.k1, pg_len=index.pg_len,
+                          sorted=False)
     n_ent = index.pos_sorted.size
     n_blocks = max(1, -(-n_ent // max_block))
     per = -(-max(n_ent, 1) // n_blocks)
     i_pad = _probe_bucket(per)
-    conv = (lambda a: a) if mesh is not None else jnp.asarray
     blocks = []
     pos_dt = np.int64 if wide else np.int32
     for b in range(n_blocks):
@@ -493,7 +568,7 @@ def match_reads(
     out_pos = np.full(n, -1, dtype=np.int64)
     out_rc = np.zeros(n, dtype=bool)
     out_mis = np.full(n, 255, dtype=np.uint8)
-    if n == 0 or index.positions.size == 0 or index.pg_len < L:
+    if n == 0 or index.n_entries == 0 or index.pg_len < L:
         return MatchResult(out_pos, out_rc, out_mis)
     wide = force_wide or index.pg_len > 0x7FFF0000 - L
     if index.pg_len > (1 << 35):
@@ -505,51 +580,85 @@ def match_reads(
                        max_block=index_block)
     offs_full = probe_offsets(L, index.k, k2)
     offs_p1 = _spread_offsets(offs_full, index.k1)
-    # batch rows scale with the index so the join's index side amortizes:
-    # every batch re-sorts the i_pad index entries, so probes per batch
-    # must stay within ~1x of them (at a 54M-symbol pg the old fixed 32k
-    # batches re-sorted a 16.7M-entry index 74 times — over half the 10M-
-    # read encode). Batch sizes are floored to a power of two (and i_pad
-    # is one already), so a full batch never mints a non-pow2 compiled
-    # shape and always divides evenly across mesh devices.
+    # batch rows: as large as the join program limit allows — on the
+    # tunneled device per-dispatch latency rivals compute, so the whole
+    # pass should be ONE dispatch whenever the join fits (2^20-row cap
+    # bounds the [R, L] on-device hash temporaries). Power-of-two sizes
+    # keep compiled shapes few and mesh shards even.
     i_pad = dev[3]
-    b1 = min(1 << 22, max(131072, _pow2_floor(i_pad // max(len(offs_p1), 1))))
-    b2 = min(1 << 19, max(32768, _pow2_floor(i_pad // max(len(offs_full), 1))))
+    b1 = _batch_cap(i_pad, len(offs_p1))
+    b2 = _batch_cap(i_pad, len(offs_full))
 
     # pass 1: BOTH strands at k1 residue-covering spread offsets for every
     # read, verifying the first confirmed anchor (on a strand-mixed input
     # ~half the reads only match reverse-complemented; probing rc up front
     # keeps them out of the expensive full fan-out — the reference instead
     # rc-flips the whole pg and re-runs matching, ReadsMatchers.cpp:162-184)
-    lanes_f, _ = packed.pack_lanes(read_codes)
-    rc_all = packed.revcomp_codes_matrix(read_codes)
-    rc_all[rc_all > 3] = 0  # N probes as A on the RC strand too
-    lanes_r, _ = packed.pack_lanes(rc_all)
-    # both strands go through ONE probe dispatch as [fwd; rc] row blocks:
-    # on the tunneled device, per-call latency rivals the compute, so
-    # halving the dispatch count nearly halves small-batch pass time
-    lanes_fr = np.concatenate([lanes_f, lanes_r])
+    lanes_f, nmask_f = packed.pack_lanes(read_codes)
+    if mesh is None:
+        # ONE forward-lanes upload; the RC strand is computed on device
+        # (revcomp_lanes) — halves the bytes over the host<->device link
+        nb = min(_probe_bucket(n), b1)
+        key = ("rcprep", nb, L, nmask_f is not None)
+        if key not in _PROBE_CACHE:
+            def _prep(lanes, nmask):
+                rc = packed.revcomp_lanes(lanes, L, nmask)
+                return jnp.concatenate([lanes, rc], axis=0)
+
+            _PROBE_CACHE[key] = jax.jit(_prep)
+        nm = (jnp.asarray(_pad_rows(nmask_f, ((n - 1) // nb + 1) * nb))
+              if nmask_f is not None else None)
+        lanes_half = _pad_rows(lanes_f, ((n - 1) // nb + 1) * nb)
+        parts = []
+        for lo in range(0, lanes_half.shape[0], nb):
+            parts.append(_PROBE_CACHE[key](
+                jnp.asarray(lanes_half[lo:lo + nb]),
+                nm[lo:lo + nb] if nm is not None else None))
+        n_half = lanes_half.shape[0]
+        if len(parts) == 1:
+            lanes_fr = parts[0]
+        else:
+            lanes_fr = jnp.concatenate(
+                [p[:nb] for p in parts] + [p[nb:] for p in parts], axis=0)
+    else:
+        rc_all = packed.revcomp_codes_matrix(read_codes)
+        rc_all[rc_all > 3] = 0  # N probes as A on the RC strand too
+        lanes_r, _ = packed.pack_lanes(rc_all)
+        lanes_fr = np.concatenate([lanes_f, lanes_r])
+        n_half = n
     bm, bp = _probe_batch(lanes_fr, offs_p1, index, dev, max_mismatches,
                           L, batch_rows=b1, mesh=mesh, wide=wide)
-    fm, rm = bm[:n].copy(), bm[n:].copy()
-    fp, rp = bp[:n].copy(), bp[n:].copy()
+    fm, rm = bm[:n].copy(), bm[n_half:n_half + n].copy()
+    fp, rp = bp[:n].copy(), bp[n_half:n_half + n].copy()
 
     # pass 2: full fan-out on both strands only for unaccepted leftovers,
     # best of the first `cap` confirmed anchors per read
     n_verify2 = max(2, min(cap, 6))
     rows = np.nonzero(np.minimum(fm, rm) > accept_mis)[0]
     if rows.size:
-        sub = np.concatenate([lanes_f[rows], lanes_r[rows]])
+        k = rows.size
+        idxs = np.concatenate([rows, n_half + rows])
+        if mesh is None:
+            # gather the leftover rows on device (upload = 4 B/row of ids)
+            bsub = _probe_bucket(idxs.size)
+            key = ("p2gather", int(lanes_fr.shape[0]), bsub)
+            if key not in _PROBE_CACHE:
+                _PROBE_CACHE[key] = jax.jit(
+                    lambda lf, ix: jnp.take(lf, ix, axis=0))
+            ip_pad = np.zeros(bsub, dtype=np.int32)
+            ip_pad[: idxs.size] = idxs
+            sub = _PROBE_CACHE[key](lanes_fr, jnp.asarray(ip_pad))
+        else:
+            sub = np.concatenate([lanes_f[rows], lanes_r[rows]])
         mis_t, pos_t = _probe_batch(sub, offs_full, index, dev,
                                     max_mismatches, L, batch_rows=b2,
                                     mesh=mesh, wide=wide, n_verify=n_verify2)
-        k = rows.size
         better_f = mis_t[:k] < fm[rows]
         fm[rows] = np.where(better_f, mis_t[:k], fm[rows])
         fp[rows] = np.where(better_f, pos_t[:k], fp[rows])
-        better_r = mis_t[k:] < rm[rows]
-        rm[rows] = np.where(better_r, mis_t[k:], rm[rows])
-        rp[rows] = np.where(better_r, pos_t[k:], rp[rows])
+        better_r = mis_t[k:2 * k] < rm[rows]
+        rm[rows] = np.where(better_r, mis_t[k:2 * k], rm[rows])
+        rp[rows] = np.where(better_r, pos_t[k:2 * k], rp[rows])
 
     # pass 3: interleaved-anchor rescue for reads both device passes missed
     # (burst errors can kill every contiguous k-mer anchor; an interleaved
@@ -564,7 +673,8 @@ def match_reads(
         better = im < fm[rows]
         fm[rows] = np.where(better, im, fm[rows])
         fp[rows] = np.where(better, ip, fp[rows])
-        rc_sub = rc_all[rows]
+        rc_sub = packed.revcomp_codes_matrix(read_codes[rows])
+        rc_sub[rc_sub > 3] = 0
         im, ip = _interleaved_rescue(rc_sub, pg_codes, k_resc,
                                      max_mismatches, ridx=ridx)
         better = im < rm[rows]
@@ -662,6 +772,14 @@ def _pow2_floor(x: int) -> int:
     return 1 << (max(int(x), 1).bit_length() - 1)
 
 
+def _batch_cap(i_pad: int, S: int) -> int:
+    """Largest pow2 probe-row batch whose join (i_pad index entries +
+    rows*S probes) stays within the program limit; capped at 2^20 rows to
+    bound the on-device [R, L] hash temporaries."""
+    room = ((1 << 28) - i_pad) // max(S, 1)
+    return max(1024, min(1 << 20, _pow2_floor(room)))
+
+
 def _probe_bucket(n: int) -> int:
     b = 1024
     while b < n:
@@ -669,11 +787,12 @@ def _probe_bucket(n: int) -> int:
     return b
 
 
-def _pad_rows(mat: np.ndarray, n: int) -> np.ndarray:
+def _pad_rows(mat, n: int):
     if mat.shape[0] == n:
         return mat
-    pad = np.zeros((n - mat.shape[0], mat.shape[1]), dtype=mat.dtype)
-    return np.concatenate([mat, pad], axis=0)
+    xp = packed._xp(mat)
+    pad = xp.zeros((n - mat.shape[0], mat.shape[1]), dtype=mat.dtype)
+    return xp.concatenate([mat, pad], axis=0)
 
 
 def _pad_1d(arr: np.ndarray, n: int) -> np.ndarray:

@@ -403,6 +403,22 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
         return stats
 
     # ---- write archive ----
+    # stage 7 (pg sequences) depends only on the three pgs + the
+    # precomputed self-match: compress it in a worker thread CONCURRENTLY
+    # with the hq-section/order compression below (the codecs release the
+    # GIL), then splice its buffer at the end — stream order in the
+    # archive is unchanged
+    s7_buf = io.BytesIO()
+    s7_write = None
+    if params.end_stage >= 7:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ex7 = ThreadPoolExecutor(max_workers=1)
+        s7_write = _ex7.submit(
+            pgseq.write_pg_sequences, s7_buf, hq_pg, lq_pg, n_pg,
+            params.target_pg_match_length, params.compression_level,
+            s7_fut.result() if s7_fut is not None else None)
+        _ex7.shutdown(wait=False)
     t0 = time.time()
     mode = params.mode()
     out = io.BytesIO()
@@ -447,13 +463,11 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
             order_enc.encode_positions_se(out, pos_by_org)
     _stage_done(t, "order", t0)
 
-    # ---- stage 7: pg sequences ----
+    # ---- stage 7: pg sequences (compressed concurrently above) ----
     t0 = time.time()
-    pgseq.write_pg_sequences(
-        out, hq_pg, lq_pg, n_pg, params.target_pg_match_length,
-        params.compression_level,
-        self_match_pre=s7_fut.result() if s7_fut is not None else None,
-    )
+    if s7_write is not None:
+        s7_write.result()
+        out.write(s7_buf.getvalue())
     _stage_done(t, "pgseq", t0)
 
     blob = out.getvalue()

@@ -173,6 +173,86 @@ def pack_lanes(codes: np.ndarray, n_pad: int | None = None):
     return lanes, nmask
 
 
+def _swap_groups_u32(xp, v, width):
+    """Reverse the order of `width`-bit groups within each uint32."""
+    if width <= 16:
+        v = ((v & xp.uint32(0x0000FFFF)) << xp.uint32(16)) | (v >> xp.uint32(16))
+    if width <= 8:
+        v = ((v & xp.uint32(0x00FF00FF)) << xp.uint32(8)) | \
+            ((v >> xp.uint32(8)) & xp.uint32(0x00FF00FF))
+    if width <= 4:
+        v = ((v & xp.uint32(0x0F0F0F0F)) << xp.uint32(4)) | \
+            ((v >> xp.uint32(4)) & xp.uint32(0x0F0F0F0F))
+    if width <= 2:
+        v = ((v & xp.uint32(0x33333333)) << xp.uint32(2)) | \
+            ((v >> xp.uint32(2)) & xp.uint32(0x33333333))
+    if width <= 1:
+        v = ((v & xp.uint32(0x55555555)) << xp.uint32(1)) | \
+            ((v >> xp.uint32(1)) & xp.uint32(0x55555555))
+    return v
+
+
+def _shift_left_lanes(xp, v, bits):
+    """Shift a [n, W] lane matrix left by `bits` across lane boundaries
+    (bits < 32); vacated low bits fill with zeros."""
+    if bits == 0:
+        return v
+    n = v.shape[0]
+    nxt = xp.concatenate([v[:, 1:], xp.zeros((n, 1), dtype=v.dtype)], axis=1)
+    return (v << xp.uint32(bits)) | (nxt >> xp.uint32(32 - bits))
+
+
+def revcomp_lanes(lanes, read_len: int, nmask=None):
+    """Reverse-complement packed 2-bit lane rows (device-friendly).
+
+    `lanes`: [n, W+1] uint32 in pack_lanes layout (symbol j at bits
+    2*(15 - j%16) of lane j//16, one zero pad lane). Returns the RC rows in
+    the same layout — bit-identical to pack_lanes(revcomp_codes_matrix(c))
+    for ACGT rows. With `nmask` ([n, Wn+1] uint32 N-position bits), the
+    groups landing on (reversed) N positions are cleared to A, matching
+    the matcher's convention that N probes as A on both strands.
+
+    Runs on numpy or jax arrays; on device it replaces a second host
+    pack + upload of the RC strand (the upload is the scarce resource on
+    a tunneled TPU — see DESIGN.md).
+    """
+    xp = _xp(lanes)
+    L = read_len
+    W = num_lanes(L)
+    body = lanes[:, :W]
+    # complement (v -> 3-v == bitwise NOT per 2-bit group), reverse lanes,
+    # reverse 2-bit groups within each lane
+    v = _swap_groups_u32(xp, (~body)[:, ::-1], 2)
+    # the reversed read occupies the LAST L of the W*16 symbol slots
+    pad_syms = W * SYMS_PER_LANE - L
+    v = _shift_left_lanes(xp, v, 2 * pad_syms)
+    # zero the tail slots (they held complemented padding)
+    tail = L - (W - 1) * SYMS_PER_LANE
+    lane_mask = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
+    if tail < SYMS_PER_LANE:
+        lane_mask[W - 1] = np.uint32((0xFFFFFFFF << (32 - 2 * tail)) & 0xFFFFFFFF)
+    v = v & xp.asarray(lane_mask)[None, :]
+    if nmask is not None:
+        Wn = (L + 31) // 32
+        nb = _swap_groups_u32(xp, nmask[:, :Wn][:, ::-1], 1)
+        nb = _shift_left_lanes(xp, nb, Wn * 32 - L)
+        # expand each N bit to a 2-bit clear mask over the two code lanes
+        # covered by one nmask lane (bits 31..16 -> even lane, 15..0 -> odd)
+        def spread16(x):
+            x = (x | (x << xp.uint32(8))) & xp.uint32(0x00FF00FF)
+            x = (x | (x << xp.uint32(4))) & xp.uint32(0x0F0F0F0F)
+            x = (x | (x << xp.uint32(2))) & xp.uint32(0x33333333)
+            x = (x | (x << xp.uint32(1))) & xp.uint32(0x55555555)
+            return x | (x << xp.uint32(1))
+
+        hi = spread16(nb >> xp.uint32(16))
+        lo = spread16(nb & xp.uint32(0xFFFF))
+        clear = xp.stack([hi, lo], axis=2).reshape(nb.shape[0], 2 * Wn)[:, :W]
+        v = v & ~clear
+    n = lanes.shape[0]
+    return xp.concatenate([v, xp.zeros((n, 1), dtype=lanes.dtype)], axis=1)
+
+
 def revcomp_codes_matrix(codes):
     """Reverse complement rows of an ACGTN code matrix (vector form of
     utils/helper.cpp:388-397)."""

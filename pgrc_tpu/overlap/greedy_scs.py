@@ -417,9 +417,13 @@ def _build_seg_fn(n: int, L: int, has_n: bool, n_glob: int, mesh=None):
 def _build_init_fn(n: int, L: int, has_n: bool):
     """Initial device program: full-read hashes + duplicate linking
     (GreedySwipingPacked...cpp:97-136's equal-neighbor dedup) at full size.
-    Emits links directly in global id space (ids are the identity here)."""
+    Emits links directly in global id space (ids are the identity here).
+
+    Duplicate acceptance is by equality of BOTH independent 64-bit hashes
+    (carried through the sort as a payload — no row gathers); the exact
+    host-side _verify_links pass covers overlap-L links too, so a double
+    collision costs a dropped duplicate link, never a wrong byte."""
     jax, jnp = _jax()
-    W, Wn = _lane_dims(L)
     INVALID64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def init_fn(lanes, nmask, nreal):
@@ -439,21 +443,16 @@ def _build_init_fn(n: int, L: int, has_n: bool):
         real = idx < nreal
         ks = jnp.where(real, jnp.minimum(h0, INVALID64 - np.uint64(1)),
                        INVALID64)
-        ks_sorted, sidx = jax.lax.sort((ks, idx), num_keys=1, is_stable=True)
+        ks_sorted, sidx, hb_sorted = jax.lax.sort((ks, idx, h0b), num_keys=1,
+                                                  is_stable=True)
         nxt_key_same = jnp.concatenate(
             [(ks_sorted[1:] == ks_sorted[:-1]) & (ks_sorted[1:] != INVALID64),
              jnp.zeros(1, dtype=jnp.bool_)]
         )
         me = sidx
         nxt = jnp.clip(jnp.concatenate([sidx[1:], sidx[:1]]), 0, n - 1)
-        ra = jnp.take(lanes[:, :W], me, axis=0)
-        rb = jnp.take(lanes[:, :W], nxt, axis=0)
-        eq = (ra == rb).all(axis=1)
-        if has_n:
-            eq = eq & (
-                jnp.take(nmask[:, :Wn], me, axis=0)
-                == jnp.take(nmask[:, :Wn], nxt, axis=0)
-            ).all(axis=1)
+        eq = jnp.concatenate([hb_sorted[1:] == hb_sorted[:-1],
+                              jnp.zeros(1, dtype=jnp.bool_)])
         matched = nxt_key_same & eq
         succ = jnp.full((n,), -1, dtype=jnp.int32)
         ovl = jnp.zeros((n,), dtype=jnp.int32)
@@ -777,6 +776,11 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None,
     while i < iters:
         seg = _SEG_PLAN[seg_idx] if seg_idx < len(_SEG_PLAN) else _SEG_TAIL
         seg_idx += 1
+        if n_loc <= 32768:
+            # small table: rounds are ~dispatch-latency-bound and further
+            # compaction cannot win it back — run to the end, one segment,
+            # no more count round-trips
+            seg = iters - i
         i1 = min(i + seg, iters)
         # under shard_map the round program sees per-device blocks
         seg_fn = _cached("seg", _build_seg_fn, n_loc,
@@ -826,13 +830,13 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None,
 def _verify_links(res: OverlapResult, codes: np.ndarray) -> None:
     """One exact host-side verification of the final links (in place).
 
-    Round pairing accepts on two independent 64-bit hash matches; this pass
-    compares the actual overlap bytes and cuts any link that fails, so even
-    a double hash collision costs only a dropped link (a slightly longer
-    pg), never a wrong pseudogenome byte. Vectorized per overlap length;
-    duplicate links (overlap == L) were compared exactly at init and skip."""
+    Round pairing (and init duplicate-linking) accepts on two independent
+    64-bit hash matches; this pass compares the actual overlap bytes and
+    cuts any link that fails, so even a double hash collision costs only a
+    dropped link (a slightly longer pg), never a wrong pseudogenome byte.
+    Vectorized per overlap length, including the overlap-L duplicates."""
     L = res.read_len
-    has = np.nonzero((res.succ >= 0) & (res.overlap < L))[0]
+    has = np.nonzero(res.succ >= 0)[0]
     if not has.size:
         return
     ovl = res.overlap[has]
@@ -846,27 +850,31 @@ def _verify_links(res: OverlapResult, codes: np.ndarray) -> None:
 
 
 def _bucket_size(n: int) -> int:
-    """Round N up to the next power of two (>=256): one compiled round
-    program per (bucket, L), persisted in the compilation cache. Padding
-    rows are inert, and round runtime is negligible next to compile cost."""
+    """Round N up to the next {2^k, 1.5*2^k} step (>=256): one compiled
+    round program per (bucket, L), persisted in the compilation cache.
+    Padding rows are inert; the 1.5 half-steps cut the worst-case pad
+    waste from 2x to 1.33x — per-round sort cost AND the table upload
+    scale with the padded size, so the finer series pays for its extra
+    one-time compiles."""
     b = 256
-    while b < n:
+    while True:
+        if n <= b:
+            return b
+        if n <= b + b // 2:
+            return b + b // 2
         b *= 2
-    return b
 
 
 def _ladder_size(n: int) -> int:
-    """Round N up to the next power of FOUR (>= _COMPACT_FLOOR): compaction
-    targets. A coarse shared ladder keeps the set of compiled (seg, compact)
-    shapes tiny and IDENTICAL across input scales and stages, so the
-    persistent compilation cache absorbs them once per machine — each
-    sort/scan program costs ~30-45 s to compile on the TPU backend, which
-    dominated large-input wall time when every input size minted its own
-    shape trail (the round-3 '10x-scale throughput collapse')."""
-    b = _COMPACT_FLOOR
-    while b < n:
-        b *= 4
-    return b
+    """Round N up to the next {2^k, 1.5*2^k} step (>= _COMPACT_FLOOR):
+    compaction targets. The shared ladder keeps the set of compiled
+    (seg, compact) shapes bounded and IDENTICAL across input scales and
+    stages, so the persistent compilation cache absorbs them once per
+    machine — each sort/scan program costs ~30-45 s to compile on the TPU
+    backend, which dominated large-input wall time when every input size
+    minted its own shape trail (the round-3 '10x-scale throughput
+    collapse')."""
+    return max(_bucket_size(n), _COMPACT_FLOOR)
 
 
 # ---------------------------------------------------------------------------
