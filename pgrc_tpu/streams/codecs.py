@@ -206,8 +206,8 @@ class Codec:
         return (self.coder_id, self.p1, self.p2)
 
 
-PROBE_FRACTION = 0.2
-MIN_PROBE_SIZE = 1 << 16
+PROBE_FRACTION = 0.1
+MIN_PROBE_SIZE = 1 << 15
 
 
 def select_best(codecs: list[Codec], data: bytes) -> tuple[Codec, bytes]:

@@ -87,6 +87,31 @@ def test_se_validation_mode(se_input):
     assert rep["errors"] == 0
 
 
+def test_validation_detects_wrong_source(se_input, tmp_path):
+    """The streaming validator must FAIL against a different source file
+    (one altered read), in both multiset and order-exact modes."""
+    path, codes, d = se_input
+    d = str(tmp_path)
+    encoder.encode(PgRCParams(src_fastq=path, output=d + "/v.pgtc"))
+    # build an altered copy: flip one base of one read's sequence line
+    altered = str(tmp_path / "alt.fastq")
+    with open(path, "rb") as f:
+        lines = f.read().split(b"\n")
+    seq = bytearray(lines[1])
+    seq[3] = ord(b"A") if seq[3] != ord(b"A") else ord(b"C")
+    lines[1] = bytes(seq)
+    with open(altered, "wb") as f:
+        f.write(b"\n".join(lines))
+    rep = decoder.validate(d + "/v.pgtc", altered)
+    assert rep["errors"] > 0
+    ord_out = d + "/v_ord.pgtc"
+    encoder.encode(PgRCParams(src_fastq=path, output=ord_out,
+                              preserve_order=True))
+    assert decoder.validate(ord_out, path)["errors"] == 0
+    rep = decoder.validate(ord_out, altered)
+    assert rep["errors"] > 0
+
+
 @pytest.fixture(scope="module")
 def pe_input(tmp_path_factory):
     d = tmp_path_factory.mktemp("pe")
