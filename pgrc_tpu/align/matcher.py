@@ -576,8 +576,11 @@ def match_reads(
             "pg longer than 2^35 symbols exceeds i32 lane indexing"
         )
 
-    dev = device_index(index, pg_codes, wide=wide, mesh=mesh,
-                       max_block=index_block)
+    from ..utils.trace import span
+
+    with span(f"match device_index pg={index.pg_len}"):
+        dev = device_index(index, pg_codes, wide=wide, mesh=mesh,
+                           max_block=index_block)
     offs_full = probe_offsets(L, index.k, k2)
     offs_p1 = _spread_offsets(offs_full, index.k1)
     # batch rows: as large as the join program limit allows — on the
@@ -585,16 +588,30 @@ def match_reads(
     # pass should be ONE dispatch whenever the join fits (2^20-row cap
     # bounds the [R, L] on-device hash temporaries). Power-of-two sizes
     # keep compiled shapes few and mesh shards even.
+    # With accept_mis == 0 (the NORMAL-level default) pass 1 cannot accept
+    # any read carrying a mismatch, so the overwhelming majority falls
+    # through to the full fan-out anyway (77% measured on the 2M bench) —
+    # run ONE full-fan-out pass for every read instead: the probe compute
+    # is nearly the same, but the whole pass-1 join and one
+    # dispatch+readback cycle disappear. accept_mis > 0 (-l) keeps the
+    # 2-phase structure: spread-offset pass 1 accepts early, leftovers
+    # fan out.
+    import os as _os
+
+    n_verify2 = max(2, min(cap, 6))
+    single_pass = accept_mis <= 0 and not _os.environ.get("PGRC_TPU_TWO_PASS")
+    if single_pass:
+        offs_p1 = offs_full
     i_pad = dev[3]
     b1 = _batch_cap(i_pad, len(offs_p1))
     b2 = _batch_cap(i_pad, len(offs_full))
 
-    # pass 1: BOTH strands at k1 residue-covering spread offsets for every
-    # read, verifying the first confirmed anchor (on a strand-mixed input
-    # ~half the reads only match reverse-complemented; probing rc up front
-    # keeps them out of the expensive full fan-out — the reference instead
-    # rc-flips the whole pg and re-runs matching, ReadsMatchers.cpp:162-184)
-    lanes_f, nmask_f = packed.pack_lanes(read_codes)
+    # pass 1: BOTH strands (on a strand-mixed input ~half the reads only
+    # match reverse-complemented; probing rc keeps them out of a separate
+    # rc pass — the reference instead rc-flips the whole pg and re-runs
+    # matching, ReadsMatchers.cpp:162-184)
+    with span(f"match pack n={n}"):
+        lanes_f, nmask_f = packed.pack_lanes(read_codes)
     if mesh is None:
         # ONE forward-lanes upload; the RC strand is computed on device
         # (revcomp_lanes) — halves the bytes over the host<->device link
@@ -626,15 +643,18 @@ def match_reads(
         lanes_r, _ = packed.pack_lanes(rc_all)
         lanes_fr = np.concatenate([lanes_f, lanes_r])
         n_half = n
-    bm, bp = _probe_batch(lanes_fr, offs_p1, index, dev, max_mismatches,
-                          L, batch_rows=b1, mesh=mesh, wide=wide)
+    with span(f"match pass1 rows={2 * n_half} offs={len(offs_p1)}"):
+        bm, bp = _probe_batch(lanes_fr, offs_p1, index, dev, max_mismatches,
+                              L, batch_rows=b1, mesh=mesh, wide=wide,
+                              n_verify=n_verify2 if single_pass else 1)
     fm, rm = bm[:n].copy(), bm[n_half:n_half + n].copy()
     fp, rp = bp[:n].copy(), bp[n_half:n_half + n].copy()
 
     # pass 2: full fan-out on both strands only for unaccepted leftovers,
-    # best of the first `cap` confirmed anchors per read
-    n_verify2 = max(2, min(cap, 6))
-    rows = np.nonzero(np.minimum(fm, rm) > accept_mis)[0]
+    # best of the first `cap` confirmed anchors per read (skipped in
+    # single-pass mode — pass 1 WAS the full fan-out)
+    rows = (np.zeros(0, dtype=np.int64) if single_pass
+            else np.nonzero(np.minimum(fm, rm) > accept_mis)[0])
     if rows.size:
         k = rows.size
         idxs = np.concatenate([rows, n_half + rows])
@@ -650,9 +670,11 @@ def match_reads(
             sub = _PROBE_CACHE[key](lanes_fr, jnp.asarray(ip_pad))
         else:
             sub = np.concatenate([lanes_f[rows], lanes_r[rows]])
-        mis_t, pos_t = _probe_batch(sub, offs_full, index, dev,
-                                    max_mismatches, L, batch_rows=b2,
-                                    mesh=mesh, wide=wide, n_verify=n_verify2)
+        with span(f"match pass2 rows={2 * k}"):
+            mis_t, pos_t = _probe_batch(sub, offs_full, index, dev,
+                                        max_mismatches, L, batch_rows=b2,
+                                        mesh=mesh, wide=wide,
+                                        n_verify=n_verify2)
         better_f = mis_t[:k] < fm[rows]
         fm[rows] = np.where(better_f, mis_t[:k], fm[rows])
         fp[rows] = np.where(better_f, pos_t[:k], fp[rows])
@@ -666,10 +688,17 @@ def match_reads(
     # The pg-side interleaved index is built once and shared by both strands
     rows = np.nonzero(np.minimum(fm, rm) == 255)[0]
     k_resc = min(index.k, 16)
-    if rows.size and L >= 2 * k_resc and pg_codes.size >= 2 * k_resc:
-        ridx = _build_rescue_index(pg_codes, k_resc)
+    # the rescue index cost is dominated by its pg sampling stride: widen
+    # it with pg size (residue coverage of the 69 read offsets keeps
+    # sensitivity) so the index stays ~1 s even at 50M-symbol pgs —
+    # rescued reads are worth ~14 B of archive each (measured, 2M bench)
+    k1_r = 2 if index.pg_len < (4 << 20) else \
+        4 if index.pg_len < (32 << 20) else 8
+    if rows.size >= 16 and L >= 2 * k_resc and pg_codes.size >= 2 * k_resc:
+        with span(f"match rescue-index rows={rows.size} k1={k1_r}"):
+            ridx = _build_rescue_index(pg_codes, k_resc, k1=k1_r)
         im, ip = _interleaved_rescue(read_codes[rows], pg_codes, k_resc,
-                                     max_mismatches, ridx=ridx)
+                                     max_mismatches, k1=k1_r, ridx=ridx)
         better = im < fm[rows]
         fm[rows] = np.where(better, im, fm[rows])
         fp[rows] = np.where(better, ip, fp[rows])
@@ -697,19 +726,30 @@ def _build_rescue_index(pg_codes: np.ndarray, k: int, k1: int = 2,
     and shared by the forward and rc rescue calls.
 
     Interleaved window hash at pg position p = contiguous window hash of
-    the parity-(p%2) downsampled sequence at index p//2."""
+    the parity-(p%2) downsampled sequence at index p//2. With an EVEN k1
+    every sampled position is even, so only the even-parity half sequence
+    is ever hashed and the hash array is a strided view — the index then
+    costs one half-length hash pass + one int radix argsort."""
     span = 2 * k
-    half = [_window_hashes(pg_codes[0::2], k), _window_hashes(pg_codes[1::2], k)]
-    sampled = np.arange(0, pg_codes.size - span + 1, k1, dtype=np.int64)
-    hs = np.where(sampled % 2 == 0,
-                  half[0][np.clip(sampled // 2, 0, half[0].size - 1)],
-                  half[1][np.clip(sampled // 2, 0, max(half[1].size - 1, 0))])
-    hb = (hs >> np.uint32(32 - bits)).astype(np.int64)
+    n_s = max(pg_codes.size - span + 1, 0)
+    if k1 % 2 == 0:
+        half0 = _window_hashes(pg_codes[0::2], k)
+        sampled = np.arange(0, n_s, k1, dtype=np.int64)
+        hs = half0[:: k1 // 2][: sampled.size]
+    else:
+        half = [_window_hashes(pg_codes[0::2], k),
+                _window_hashes(pg_codes[1::2], k)]
+        sampled = np.arange(0, n_s, k1, dtype=np.int64)
+        hs = np.where(sampled % 2 == 0,
+                      half[0][np.clip(sampled // 2, 0, half[0].size - 1)],
+                      half[1][np.clip(sampled // 2, 0,
+                                      max(half[1].size - 1, 0))])
+    hb = (hs >> np.uint32(32 - bits)).astype(np.int32)
     order = np.argsort(hb, kind="stable")
     counts = np.bincount(hb[order], minlength=1 << bits)
     starts = np.zeros((1 << bits) + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
-    return sampled[order], hs[order], starts, bits
+    return sampled[order], np.ascontiguousarray(hs)[order], starts, bits
 
 
 def _interleaved_rescue(read_codes: np.ndarray, pg_codes: np.ndarray,

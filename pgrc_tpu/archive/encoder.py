@@ -233,12 +233,15 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
                             ck.get("lq_un", empty), ck.get("n_un", empty),
                             out_path, stage5, mesh=mesh, s7_fut=s7_fut)
+    from ..utils.trace import span
+
     cand_idx = np.concatenate([lq_idx, n_idx]) if params.separate_n_reads else lq_idx
     n_begin = lq_idx.size
     if cand_idx.size and hq_pg.size >= L:
         k = params.seed_k + matching_chars_correction(len(hq_pg))
         k = min(k, L)
-        cand_codes = codes[cand_idx]
+        with span(f"stage4 cand gather n={cand_idx.size}"):
+            cand_codes = codes[cand_idx]
         has_n = (cand_codes == dna.N).any(axis=1)
         max_mis = L // params.min_chars_per_mismatch
         index = align_matcher.build_index(hq_pg, k=k, device_sort=True)
@@ -273,6 +276,8 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
     stats.matched_count = int(matched.sum())
 
     # build combined hq reads-list entries: base reads + matched reads
+    _t4 = span("stage4 entries merge")
+    _t4.__enter__()
     m_org = cand_idx[matched]
     m_pos = mres.pos[matched]
     m_rc_stored = mres.rc[matched]
@@ -334,6 +339,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         perm, hq_entries["mis_cnt"], mis_src_cum, m_sym, m_off
     )
     stats.hq_count = base_cnt + m_org.size
+    _t4.__exit__()
     unmatched = ~matched
     lq_un = cand_idx[unmatched & (np.arange(cand_idx.size) < n_begin)]
     n_un = cand_idx[unmatched & (np.arange(cand_idx.size) >= n_begin)]

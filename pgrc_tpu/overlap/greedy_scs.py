@@ -720,11 +720,14 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None,
     # bucket N to limit distinct compiled shapes; padding rows are inert
     # (zero reads marked inactive in both tables from the start).
     # D is a power of two <= every bucket size, so shards divide evenly.
-    n_pad = max(_bucket_size(n), D)
-    lanes_np, nmask_np = packed_mod.pack_lanes(codes, n_pad)
-    has_n = nmask_np is not None
+    from ..utils.trace import span
 
-    lanes_d = jnp.asarray(lanes_np)
+    n_pad = max(_bucket_size(n), D)
+    with span(f"sweep pack+upload n={n} pad={n_pad}"):
+        lanes_np, nmask_np = packed_mod.pack_lanes(codes, n_pad)
+        has_n = nmask_np is not None
+
+        lanes_d = jnp.asarray(lanes_np)
     nmask_d = jnp.asarray(nmask_np) if has_n else jnp.zeros((n_pad, 1), dtype=jnp.uint32)
     if init_active is None:
         init_fn = _cached("init", _build_init_fn, n_pad, L, has_n)
@@ -773,6 +776,9 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None,
     i = 1
     seg_idx = 0
     pending = None  # count futures of the PREVIOUS segment
+    import time as _time
+
+    seg_t0 = _time.time()
     while i < iters:
         seg = _SEG_PLAN[seg_idx] if seg_idx < len(_SEG_PLAN) else _SEG_TAIL
         seg_idx += 1
@@ -821,9 +827,18 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None,
 
     # device_get, not np.asarray: the __array__ readback path stalls ~10 s
     # per call on a tunneled TPU, device_get transfers in ms
-    succ_h, ovl_h = jax.device_get((succ_g, ovl_g))
+    from ..utils import trace as _trace
+
+    if _trace.enabled():
+        import time as _time
+
+        print(f"[trace] sweep segments n={n}: {_time.time() - seg_t0:.3f}s",
+              flush=True)
+    with span(f"sweep readback n={n}"):
+        succ_h, ovl_h = jax.device_get((succ_g, ovl_g))
     res = OverlapResult(succ_h[:n].copy(), ovl_h[:n].copy(), L)
-    _verify_links(res, codes)
+    with span("sweep verify_links"):
+        _verify_links(res, codes)
     return res
 
 
@@ -1068,8 +1083,11 @@ def divide_and_generate(codes: np.ndarray, coef: float, mesh=None):
 
     Returns (keep_mask [n], pg, order, pos) — order/pos in kept-row space.
     """
+    from ..utils.trace import span
+
     n, L = codes.shape
-    resf = find_overlaps(codes, coef=1.0, mesh=mesh)
+    with span(f"fused full sweep n={n}"):
+        resf = find_overlaps(codes, coef=1.0, mesh=mesh)
     iters = int(L * coef)
     thr = L - iters + 1  # minimum overlap reachable by rounds [1, iters)
     part = resf.overlap >= thr
@@ -1086,6 +1104,8 @@ def divide_and_generate(codes: np.ndarray, coef: float, mesh=None):
         np.where(good, remap[sk], -1).astype(np.int32),
         np.where(good, resf.overlap[kept], 0).astype(np.int32), L)
     sub_codes = codes[kept]
-    repair_links(sub_codes, res_k, mesh=mesh)
-    pg, order, pos = _layout_and_assemble(res_k, sub_codes)
+    with span(f"repair sweep kept={kept.size}"):
+        repair_links(sub_codes, res_k, mesh=mesh)
+    with span("chainwalk+assemble"):
+        pg, order, pos = _layout_and_assemble(res_k, sub_codes)
     return keep, pg, order, pos
