@@ -238,6 +238,37 @@ def main():
         extra[f"{label}_bits_per_base"] = round(sstats.archive_bytes * 8 / s_bases, 4)
         extra[f"{label}_decomp_mbases_s"] = round(s_bases / 1e6 / s_dec, 3)
 
+    # --- 10M-read row (gated; VERDICT r4 #2): cold + warm encode,
+    # STREAMING validate, peak-RSS budget. PGRC_BENCH_BIG=0 disables. ---
+    n_big = int(os.environ.get("PGRC_BENCH_BIG_READS", 10_000_000))
+    if os.environ.get("PGRC_BENCH_BIG", "1") != "0" and n_big > n_scale:
+        src_b = os.path.join(tmpdir, f"bench_{n_big}.fastq")
+        if not os.path.exists(src_b):
+            synth_fastq(src_b, n_big, read_len, n_big * read_len // 40, seed=9)
+        out_b = os.path.join(tmpdir, "bench_big.pgtc")
+        _, big_cold = _encode(encoder, PgRCParams, src_b, out_b)
+        bstats, big_dt = _encode(encoder, PgRCParams, src_b, out_b)
+        b_bases = bstats.reads_total * bstats.read_len
+        rep = decoder.validate(out_b, src_b)
+        if rep["errors"]:
+            return fail(f"{n_big}-read round-trip failed")
+        extra["big_reads"] = n_big
+        extra["big_mbases_s"] = round(b_bases / 1e6 / big_dt, 3)
+        extra["big_cold_mbases_s"] = round(b_bases / 1e6 / big_cold, 3)
+        extra["big_bits_per_base"] = round(bstats.archive_bytes * 8 / b_bases, 4)
+        big_rss = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+        extra["big_peak_rss_mb"] = big_rss
+        # memory gate: the 10M encode must run in bounded memory
+        if big_rss > 6144:
+            return fail(f"{n_big}-read peak RSS {big_rss} MB exceeds 6 GB")
+        # scaling gate vs the 200k row measured in the SAME bench run —
+        # self-normalizes the tunneled device's mood swings
+        if extra["big_mbases_s"] < 0.6 * mbases_s:
+            return fail(f"{n_big}-read throughput {extra['big_mbases_s']} "
+                        f"fell below 0.6x the {n_reads}-read point "
+                        f"({mbases_s:.2f})")
+
     extra["peak_rss_mb"] = round(
         resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
 

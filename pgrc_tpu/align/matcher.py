@@ -182,13 +182,6 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, k: int, i_pad: int,
     probe_off_np = np.asarray(probe_offs, dtype=np.int32)
     U32INV = np.uint32(0xFFFFFFFF)
 
-    # constants (numpy, embedded at lowering)
-    inv_pows = np.full(L, np.uint32(HASH_BASE_INV), dtype=np.uint32)
-    inv_pows[0] = 1
-    np.cumprod(inv_pows, out=inv_pows)
-    mult = np.zeros(S, dtype=np.uint32)
-    for si, o in enumerate(probe_offs):
-        mult[si] = np.uint32(pow(int(HASH_BASE), o + k - 1, 1 << 32))
     # tail mask for the last read lane
     lane_mask = np.full(W, 0xFFFFFFFF, dtype=np.uint32)
     tail = L - (W - 1) * packed.SYMS_PER_LANE
@@ -213,19 +206,21 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, k: int, i_pad: int,
         return packed.popcount_u32(y).sum(axis=-1)
 
     def probe_fn(read_lanes, ihash, ipos, pg_lanes, pg_len):
-        # --- on-device probe hashes from packed lanes ---
-        sh = jnp.arange(15, -1, -1, dtype=jnp.uint32) * jnp.uint32(2)
-        v = ((read_lanes[:, :W, None] >> sh[None, None, :]) & jnp.uint32(3)).reshape(
-            n_reads, W * 16
-        )[:, :L]
-        terms = v * jnp.asarray(inv_pows)[None, :]
-        s = jnp.concatenate(
-            [jnp.zeros((n_reads, 1), jnp.uint32), jnp.cumsum(terms, axis=1, dtype=jnp.uint32)],
-            axis=1,
-        )
+        # --- on-device probe hashes from packed lanes: per-offset unrolled
+        # Horner over lane columns. O([R]) temporaries (the earlier [R, L]
+        # cumsum formulation held ~0.5 GB per 2^20 rows, capping batch
+        # size and multiplying index re-sorts) ---
         offs = jnp.asarray(probe_off_np)
-        hashes = (jnp.take(s, offs + k, axis=1) - jnp.take(s, offs, axis=1)) * \
-            jnp.asarray(mult)[None, :]                      # [R, S]
+        cols = [read_lanes[:, c] for c in range(read_lanes.shape[1])]
+        hs_list = []
+        for o in probe_offs:
+            h = jnp.zeros((n_reads,), jnp.uint32)
+            for t in range(k):
+                c, oo = divmod(o + t, 16)
+                vv = (cols[c] >> jnp.uint32(2 * (15 - oo))) & jnp.uint32(3)
+                h = h * HASH_BASE + vv
+            hs_list.append(h)
+        hashes = jnp.stack(hs_list, axis=1)                 # [R, S]
 
         # --- sort-merge join: index entries sort before the probes of
         # their equal-hash run; a segmented cummax carry hands each probe
@@ -282,17 +277,30 @@ def _make_probe(n_reads: int, L: int, probe_offs: tuple, k: int, i_pad: int,
             return (jnp.where(ok, mis, 255).astype(jnp.uint8),
                     jnp.where(ok, st_c, -1).astype(pos_t))
 
-        # verify the first n_verify confirmed offsets per read
+        # verify the first n_verify confirmed offsets per read — as a
+        # fori_loop over candidates so the verify temporaries stay O([R])
+        # (the [R, n_verify, W+1] batched gather held ~5 GB at 4M-row
+        # batches and OOM'd HBM at the 10M bench)
         order = jnp.argsort(~in_range, axis=1, stable=True)[:, :n_verify]
         hasv = jnp.take_along_axis(in_range, order, axis=1)
         stv = jnp.take_along_axis(start_all, order, axis=1)
         stv_c = jnp.clip(stv, 0, pg_top)
-        mis = _verify(read_lanes[:, None, :W], stv_c, pg_lanes)
-        mis = jnp.where(hasv, mis, jnp.int32(255))
-        # deterministic best: min mismatches, then min position
-        best_mis = mis.min(axis=1)
-        pos_cand = jnp.where(mis == best_mis[:, None], stv_c, big_pos)
-        best_pos = pos_cand.min(axis=1)
+
+        def vbody(j, carry):
+            bm, bp = carry
+            st = jax.lax.dynamic_slice_in_dim(stv_c, j, 1, axis=1)[:, 0]
+            ok_j = jax.lax.dynamic_slice_in_dim(hasv, j, 1, axis=1)[:, 0]
+            mis_j = _verify(read_lanes[:, :W], st, pg_lanes).astype(jnp.int32)
+            mis_j = jnp.where(ok_j, mis_j, jnp.int32(255))
+            # deterministic best: min mismatches, then min position
+            better = (mis_j < bm) | ((mis_j == bm) & (st < bp))
+            return (jnp.where(better, mis_j, bm).astype(jnp.int32),
+                    jnp.where(better, st, bp).astype(pos_t))
+
+        best_mis, best_pos = jax.lax.fori_loop(
+            0, n_verify, vbody,
+            (jnp.full((n_reads,), 255, jnp.int32),
+             jnp.full((n_reads,), big_pos, pos_t)))
         ok = best_mis <= max_mis
         return (
             jnp.where(ok, best_mis, 255).astype(jnp.uint8),
@@ -395,13 +403,17 @@ class MatchResult:
 
 
 def _probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows,
-                 mesh=None, wide=False, n_verify=1):
+                 mesh=None, wide=False, n_verify=1, active_ranges=None):
     """Probe a [R, W+1] u32 lane batch in bucketed chunks.
 
     `dev` may carry several index BLOCKS (wide pgs whose sampled index
     exceeds the join's 2^29-entry program limit, the analog of the
     reference's uint_pg_len widening): each batch probes every block and
-    results merge by the deterministic (mismatches, position) minimum."""
+    results merge by the deterministic (mismatches, position) minimum.
+
+    `active_ranges` = [(start, count), ...] limits probing to real rows
+    (the [fwd | rc] layout pads each strand to a bucket multiple; without
+    ranges the padding rows would be probed as full batches)."""
     jax, jnp = _jax()
     n = rows_lanes.shape[0]
     out_mis = np.full(n, 255, dtype=np.uint8)
@@ -410,10 +422,16 @@ def _probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows,
     D = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     if D == 1:
         mesh = None
-    for lo in range(0, n, batch_rows):
-        hi = min(lo + batch_rows, n)
+    if active_ranges is None:
+        active_ranges = [(0, n)]
+    spans = []
+    for start, count in active_ranges:
+        for lo in range(start, start + count, batch_rows):
+            spans.append((lo, min(lo + batch_rows, start + count)))
+    for lo, hi in spans:
         bn = hi - lo
         bsz = min(max(_probe_bucket(bn), D), batch_rows)
+        hi_s = min(lo + bsz, n)  # bucket-sized slice (pow2-aligned)
         key = (bsz, L, offs, index.k, i_pad, pg_lanes_len, max_mis,
                D, wide, n_verify)
         if key not in _PROBE_CACHE:
@@ -422,7 +440,7 @@ def _probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows,
                 mesh=mesh, wide=wide, n_verify=n_verify,
             )
         probe_fn = _PROBE_CACHE[key]
-        lanes = _pad_rows(rows_lanes[lo:hi], bsz)
+        lanes = _pad_rows(rows_lanes[lo:hi_s], bsz)
         # under a mesh, pass host numpy (placed per in_specs on every
         # process); single-device commits to the local chip
         lanes_in = lanes if mesh is not None else jnp.asarray(lanes)
@@ -463,24 +481,33 @@ def _build_index_build_fn(wp: int, k: int, k1: int, wide: bool):
     ns = wp * 16          # padded symbol count
     m = ns // k1
     pos_t = jnp.int64 if wide else jnp.int32
+    assert 16 % k1 == 0, "device index build assumes k1 divides 16"
+    phases = 16 // k1     # sample phases within one 16-symbol lane
+    mp = wp               # windows per phase = one per lane
+    # lanes a window can span: k symbols starting at offset <= 15
+    span_lanes = (15 + k + 15) // 16 + 1
 
     def build_fn(pg_lanes, pg_len):
-        sh = jnp.arange(15, -1, -1, dtype=jnp.uint32) * jnp.uint32(2)
-        codes = ((pg_lanes[:, None] >> sh[None, :]) & jnp.uint32(3)).reshape(ns)
-        # inv_pows[j] = B^-j (u32 cumprod wraps mod 2^32 — the hash ring)
-        inv = jnp.full((ns,), jnp.uint32(HASH_BASE_INV))
-        inv = inv.at[0].set(jnp.uint32(1))
-        inv_pows = jnp.cumprod(inv)
-        s = jnp.concatenate([jnp.zeros((1,), jnp.uint32),
-                             jnp.cumsum(codes * inv_pows, dtype=jnp.uint32),
-                             jnp.zeros((k,), jnp.uint32)])
-        s_p = s[: m * k1].reshape(m, k1)[:, 0]
-        s_pk = jax.lax.dynamic_slice_in_dim(s, k, m * k1).reshape(m, k1)[:, 0]
-        # mult[i] = B^(i*k1 + k - 1)
-        mul = jnp.full((m,), jnp.uint32(pow(int(HASH_BASE), k1, 1 << 32)))
-        mul = mul.at[0].set(jnp.uint32(pow(int(HASH_BASE), k - 1, 1 << 32)))
-        mult = jnp.cumprod(mul)
-        ihash = (s_pk - s_p) * mult
+        # NO prefix scans: XLA's 67M-element cumsum/cumprod materialized
+        # ~24 GB of stage temporaries (measured OOM at the 54M-symbol pg).
+        # Instead each of the 16/k1 phases computes its window hashes by a
+        # fully unrolled k-step Horner over strided lane slices — pure
+        # elementwise streams, O(1) temporaries.
+        padded = jnp.concatenate(
+            [pg_lanes, jnp.zeros((span_lanes,), jnp.uint32)])
+        sl = [jax.lax.dynamic_slice_in_dim(padded, c, wp)
+              for c in range(span_lanes)]
+        out = []
+        for pi in range(phases):
+            r = pi * k1      # symbol offset within the lane
+            h = jnp.zeros((mp,), jnp.uint32)
+            for t in range(k):
+                c, o = divmod(r + t, 16)
+                v = (sl[c] >> jnp.uint32(2 * (15 - o))) & jnp.uint32(3)
+                h = h * HASH_BASE + v
+            out.append(h)
+        # interleave phases back to position order: pos = lane*16 + r
+        ihash = jnp.stack(out, axis=1).reshape(m)
         pos = (jnp.arange(m, dtype=pos_t) * pos_t(k1))
         ipos = jnp.where(pos <= pg_len - k, pos, pos_t(-1))
         return ihash, ipos
@@ -643,10 +670,11 @@ def match_reads(
         lanes_r, _ = packed.pack_lanes(rc_all)
         lanes_fr = np.concatenate([lanes_f, lanes_r])
         n_half = n
-    with span(f"match pass1 rows={2 * n_half} offs={len(offs_p1)}"):
+    with span(f"match pass1 rows=2x{n} offs={len(offs_p1)}"):
         bm, bp = _probe_batch(lanes_fr, offs_p1, index, dev, max_mismatches,
                               L, batch_rows=b1, mesh=mesh, wide=wide,
-                              n_verify=n_verify2 if single_pass else 1)
+                              n_verify=n_verify2 if single_pass else 1,
+                              active_ranges=[(0, n), (n_half, n)])
     fm, rm = bm[:n].copy(), bm[n_half:n_half + n].copy()
     fp, rp = bp[:n].copy(), bp[n_half:n_half + n].copy()
 
@@ -674,7 +702,8 @@ def match_reads(
             mis_t, pos_t = _probe_batch(sub, offs_full, index, dev,
                                         max_mismatches, L, batch_rows=b2,
                                         mesh=mesh, wide=wide,
-                                        n_verify=n_verify2)
+                                        n_verify=n_verify2,
+                                        active_ranges=[(0, idxs.size)])
         better_f = mis_t[:k] < fm[rows]
         fm[rows] = np.where(better_f, mis_t[:k], fm[rows])
         fp[rows] = np.where(better_f, pos_t[:k], fp[rows])
@@ -814,10 +843,12 @@ def _pow2_floor(x: int) -> int:
 
 def _batch_cap(i_pad: int, S: int) -> int:
     """Largest pow2 probe-row batch whose join (i_pad index entries +
-    rows*S probes) stays within the program limit; capped at 2^20 rows to
-    bound the on-device [R, L] hash temporaries."""
+    rows*S probes) stays within the program limit; the 2^22-row cap bounds
+    the verify gather temporaries. Bigger batches matter: every batch
+    re-sorts the i_pad index entries (at a 54M-symbol pg the index side is
+    16.7M entries — 2^20-row batches re-sorted it 10x per pass)."""
     room = ((1 << 28) - i_pad) // max(S, 1)
-    return max(1024, min(1 << 20, _pow2_floor(room)))
+    return max(1024, min(1 << 22, _pow2_floor(room)))
 
 
 def _probe_bucket(n: int) -> int:

@@ -230,8 +230,13 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         if "lq_pg" in ck:  # B = 6: stage-5 outputs come from the ckpt too
             stage5 = (ck["lq_pg"], ck["lq_org"], ck["lq_pos"],
                       ck["n_pg"], ck["n_org"], ck["n_pos"])
-        return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
-                            ck.get("lq_un", empty), ck.get("n_un", empty),
+        lq_un_ck = ck.get("lq_un", empty)
+        n_un_ck = ck.get("n_un", empty)
+        lq_codes, n_codes = codes[lq_un_ck], codes[n_un_ck]
+        reads.codes = None
+        del codes
+        return _encode_tail(params, stats, t, lq_codes, n_codes, hq_pg,
+                            hq_entries, lq_un_ck, n_un_ck,
                             out_path, stage5, mesh=mesh, s7_fut=s7_fut)
     from ..utils.trace import span
 
@@ -274,6 +279,8 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
             np.full(cand_idx.size, 255, np.uint8),
         )
     stats.matched_count = int(matched.sum())
+    if cand_idx.size and hq_pg.size >= L:
+        cand_codes = None  # 0.4 GB at 10M reads; matched rows re-gather below
 
     # build combined hq reads-list entries: base reads + matched reads
     _t4 = span("stage4 entries merge")
@@ -312,6 +319,7 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
         m_cnt = np.zeros(0, np.uint8)
         m_sym = np.zeros(0, np.uint8)
         m_off = np.zeros(0, np.uint8)
+    m_codes_out = None  # free the matched-row gather before the merge
 
     # merge base + matched entries
     base_cnt = hq_org.size
@@ -359,8 +367,14 @@ def encode(params: PgRCParams, out_path: str | None = None, mesh=None) -> Encode
                    e_mis_sym=hq_entries["mis_sym"], e_mis_off=hq_entries["mis_off"],
                    hq_pg=hq_pg)
         return stats
-    return _encode_tail(params, stats, t, codes, hq_pg, hq_entries,
-                        lq_un, n_un, out_path, mesh=mesh, s7_fut=s7_fut)
+    # gather the (small) unmatched subsets and release the full code
+    # matrix — 1 GB at 10M reads that the archive-write phase never needs
+    lq_codes, n_codes = codes[lq_un], codes[n_un]
+    reads.codes = None
+    del codes
+    return _encode_tail(params, stats, t, lq_codes, n_codes, hq_pg,
+                        hq_entries, lq_un, n_un, out_path, mesh=mesh,
+                        s7_fut=s7_fut)
 
 
 def _submit_self_match(params, hq_pg):
@@ -379,9 +393,10 @@ def _submit_self_match(params, hq_pg):
     return fut
 
 
-def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
-                 out_path, stage5=None, mesh=None, s7_fut=None):
-    """Stage 5 (LQ/N pgs) + archive write (stages 6-7)."""
+def _encode_tail(params, stats, t, lq_codes, n_codes, hq_pg, hq_entries,
+                 lq_un, n_un, out_path, stage5=None, mesh=None, s7_fut=None):
+    """Stage 5 (LQ/N pgs) + archive write (stages 6-7). Receives only the
+    unmatched-read code subsets — the full matrix is freed by the caller."""
     import time
 
     L = stats.read_len
@@ -392,9 +407,9 @@ def _encode_tail(params, stats, t, codes, hq_pg, hq_entries, lq_un, n_un,
     if stage5 is not None:
         lq_pg, lq_org, lq_pos, n_pg, n_org, n_pos = stage5
     else:
-        lq_pg, lq_order, lq_pos = greedy_scs.generate_pseudogenome(codes[lq_un], mesh=mesh)
+        lq_pg, lq_order, lq_pos = greedy_scs.generate_pseudogenome(lq_codes, mesh=mesh)
         lq_org = lq_un[lq_order] if lq_un.size else np.zeros(0, dtype=np.int64)
-        n_pg, n_order, n_pos = greedy_scs.generate_pseudogenome(codes[n_un], mesh=mesh)
+        n_pg, n_order, n_pos = greedy_scs.generate_pseudogenome(n_codes, mesh=mesh)
         n_org = n_un[n_order] if n_un.size else np.zeros(0, dtype=np.int64)
     stats.lq_count, stats.n_count = lq_org.size, n_org.size
     stats.hq_pg_len, stats.lq_pg_len, stats.n_pg_len = len(hq_pg), len(lq_pg), len(n_pg)

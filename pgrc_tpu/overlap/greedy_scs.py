@@ -855,13 +855,16 @@ def _verify_links(res: OverlapResult, codes: np.ndarray) -> None:
     if not has.size:
         return
     ovl = res.overlap[has]
+    chunk = 1 << 20  # bound the [rows, o] gather temporaries (~200 MB)
     for o in np.unique(ovl):
-        rows = has[ovl == o]
-        bad = (codes[rows, L - o:] != codes[res.succ[rows], :o]).any(axis=1)
-        if bad.any():
-            cut = rows[bad]
-            res.succ[cut] = -1
-            res.overlap[cut] = 0
+        rows_all = has[ovl == o]
+        for lo in range(0, rows_all.size, chunk):
+            rows = rows_all[lo : lo + chunk]
+            bad = (codes[rows, L - o:] != codes[res.succ[rows], :o]).any(axis=1)
+            if bad.any():
+                cut = rows[bad]
+                res.succ[cut] = -1
+                res.overlap[cut] = 0
 
 
 def _bucket_size(n: int) -> int:
