@@ -459,35 +459,36 @@ def _probe_batch(rows_lanes, offs, index, dev, max_mis, L, batch_rows,
     return out_mis, out_pos
 
 
-# join entries per index block: a wide pg's sampled index (up to 2^33
-# entries at 2^35 symbols / k1=4) is probed block by block, each block's
-# join staying under the program's 2^29-entry limit
-_MAX_INDEX_BLOCK = 1 << 27
+# index entries per block: big pgs' sampled indexes (134M entries at a
+# 500M-symbol pg, up to 2^33 for wide pgs) are built and probed block by
+# block so each join program's entry count — and so its HBM footprint —
+# stays bounded
+_MAX_INDEX_BLOCK = 1 << 26
 
 
-def _build_index_build_fn(wp: int, k: int, k1: int, wide: bool):
-    """Device program building the sampled k-mer table from packed pg lanes.
+def _build_index_build_fn(wpf: int, wp: int, k: int, k1: int, wide: bool):
+    """Device program building one BLOCK of the sampled k-mer table from
+    packed pg lanes.
 
-    Input: pg_lanes [wp] u32 (2-bit packed, zero-padded to a pow2 bucket),
-    pg_len scalar. Output: (ihash [m] u32, ipos [m] i32/i64) with m =
-    wp*16//k1 (a power of two when wp and k1 are), positions past
-    pg_len-k marked -1 (inert to the probe join).
+    Input: pg_lanes [wpf] u32 (the FULL 2-bit packed pg, zero-padded to a
+    pow2 bucket), lane_off scalar (the block's first lane), pg_len scalar.
+    Output: (ihash [m] u32, ipos [m] i32/i64) for the wp lanes starting at
+    lane_off, m = wp*16//k1; positions past pg_len-k marked -1 (inert to
+    the probe join). One pg upload serves every block.
 
     Replaces the host _window_hashes + 12-bytes/entry table upload with a
     2-bit/symbol pg upload the probe needs anyway — the host<->device link
     is the scarce resource (CopMEMMatcher.cpp:139-324's index build,
     re-homed onto the chip)."""
     jax, jnp = _jax()
-    ns = wp * 16          # padded symbol count
-    m = ns // k1
+    m = wp * 16 // k1
     pos_t = jnp.int64 if wide else jnp.int32
     assert 16 % k1 == 0, "device index build assumes k1 divides 16"
     phases = 16 // k1     # sample phases within one 16-symbol lane
-    mp = wp               # windows per phase = one per lane
     # lanes a window can span: k symbols starting at offset <= 15
     span_lanes = (15 + k + 15) // 16 + 1
 
-    def build_fn(pg_lanes, pg_len):
+    def build_fn(pg_lanes, lane_off, pg_len):
         # NO prefix scans: XLA's 67M-element cumsum/cumprod materialized
         # ~24 GB of stage temporaries (measured OOM at the 54M-symbol pg).
         # Instead each of the 16/k1 phases computes its window hashes by a
@@ -495,12 +496,12 @@ def _build_index_build_fn(wp: int, k: int, k1: int, wide: bool):
         # elementwise streams, O(1) temporaries.
         padded = jnp.concatenate(
             [pg_lanes, jnp.zeros((span_lanes,), jnp.uint32)])
-        sl = [jax.lax.dynamic_slice_in_dim(padded, c, wp)
+        sl = [jax.lax.dynamic_slice_in_dim(padded, lane_off + c, wp)
               for c in range(span_lanes)]
         out = []
         for pi in range(phases):
             r = pi * k1      # symbol offset within the lane
-            h = jnp.zeros((mp,), jnp.uint32)
+            h = jnp.zeros((wp,), jnp.uint32)
             for t in range(k):
                 c, o = divmod(r + t, 16)
                 v = (sl[c] >> jnp.uint32(2 * (15 - o))) & jnp.uint32(3)
@@ -508,7 +509,8 @@ def _build_index_build_fn(wp: int, k: int, k1: int, wide: bool):
             out.append(h)
         # interleave phases back to position order: pos = lane*16 + r
         ihash = jnp.stack(out, axis=1).reshape(m)
-        pos = (jnp.arange(m, dtype=pos_t) * pos_t(k1))
+        pos = (jnp.arange(m, dtype=pos_t) * pos_t(k1)
+               + (lane_off * 16).astype(pos_t))
         ipos = jnp.where(pos <= pg_len - k, pos, pos_t(-1))
         return ihash, ipos
 
@@ -533,20 +535,30 @@ def device_index(index: KmerIndex, pg_codes: np.ndarray, wide: bool = False,
     pg_lanes = _pad_1d(np.concatenate([pg_lanes, np.zeros(1, np.uint32)]),
                        _probe_bucket(len(pg_lanes) + 1))
     max_block = max_block or _MAX_INDEX_BLOCK
-    wp = len(pg_lanes)
+    wpf = len(pg_lanes)
     conv = (lambda a: a) if mesh is not None else jnp.asarray
-    if (index.hash_sorted is None and mesh is None
-            and wp * 16 // index.k1 <= max_block):
-        # lazy index: ONE pg upload (2 bit/symbol), table built on device
+    if index.hash_sorted is None and mesh is None:
+        # lazy index: ONE pg upload (2 bit/symbol), table built on device —
+        # in uniform lane blocks when the full table would exceed the join
+        # program limit (500M-symbol pgs -> 134M entries)
+        m_full = wpf * 16 // index.k1
+        n_blocks = max(1, -(-m_full // max_block))
+        wp = min(_probe_bucket(-(-wpf // n_blocks)), wpf)
+        assert wpf % wp == 0  # pow2 over pow2: uniform in-bounds blocks
+        n_blocks = wpf // wp
         pg_lanes_d = jnp.asarray(pg_lanes)
-        key = ("ibuild", wp, index.k, index.k1, wide)
+        key = ("ibuild", wpf, wp, index.k, index.k1, wide)
         if key not in _PROBE_CACHE:
-            _PROBE_CACHE[key] = _build_index_build_fn(wp, index.k, index.k1,
-                                                      wide)
-        ihash_d, ipos_d = _PROBE_CACHE[key](pg_lanes_d, index.pg_len)
-        return ([(ihash_d, ipos_d)], pg_lanes_d, wp, wp * 16 // index.k1)
+            _PROBE_CACHE[key] = _build_index_build_fn(
+                wpf, wp, index.k, index.k1, wide)
+        blocks = []
+        for b in range(n_blocks):
+            ih, ip = _PROBE_CACHE[key](pg_lanes_d, np.int64(b * wp),
+                                       index.pg_len)
+            blocks.append((ih, ip))
+        return (blocks, pg_lanes_d, wpf, wp * 16 // index.k1)
     if index.hash_sorted is None:
-        # mesh replication / blocked-wide path: host-built table
+        # mesh replication path: host-built table
         hashes = _window_hashes(pg_codes, index.k)
         sampled = np.arange(0, index.pg_len - index.k + 1, index.k1,
                             dtype=np.int64)

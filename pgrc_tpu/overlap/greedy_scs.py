@@ -556,6 +556,14 @@ _COMPACT_FLOOR = 4096
 # never change an archive.
 _HOST_SWEEP_MAX = 3072
 
+# device sweep table cap: a table of n rows sorts 2n 24-byte entries per
+# round, and the sort's in+out+scratch must fit HBM alongside the lanes
+# and hash state (~15.75 GB on v5e) — past the cap the sweep PARTITIONS:
+# each part sweeps independently, then one repair sweep over the free
+# ends links across parts (the 100M-read enablement; coverage data loses
+# little because parts stay at high coverage)
+_SWEEP_MAX_ROWS = 48_000_000
+
 
 def _find_overlaps_host(codes: np.ndarray, coef: float = 1.0,
                         init_state=None) -> OverlapResult:
@@ -714,6 +722,8 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None,
             codes, coef,
             init_state=(np.full(n, -1, np.int32), np.zeros(n, np.int32),
                         a_s0.copy(), a_p0.copy()))
+    if n > _SWEEP_MAX_ROWS and init_active is None:
+        return _find_overlaps_partitioned(codes, coef, mesh)
     jax, jnp = _jax()
     from ..core import packed as packed_mod
 
@@ -1046,7 +1056,35 @@ def generate_pseudogenome(codes: np.ndarray, coef: float = 1.0, mesh=None):
     return _layout_and_assemble(res, codes)
 
 
-def repair_links(codes: np.ndarray, res: OverlapResult, mesh=None) -> None:
+def _find_overlaps_partitioned(codes: np.ndarray, coef: float,
+                               mesh=None) -> OverlapResult:
+    """Oversized inputs: sweep row parts independently, then repair across
+    parts (only free suffix/prefix ends active). Links stay exact-verified;
+    tie-breaks inside each part are part-local — the result is a valid
+    (slightly less greedy-optimal) link set, like the reference's
+    block-parallel generator accepts block-local orders
+    (ParallelGreedySwiping...cpp:146-210)."""
+    n, L = codes.shape
+    parts = -(-n // _SWEEP_MAX_ROWS)
+    per = -(-n // parts)
+    res = OverlapResult(np.full(n, -1, dtype=np.int32),
+                        np.zeros(n, dtype=np.int32), L)
+    from ..utils.trace import span
+
+    for p in range(parts):
+        lo, hi = p * per, min((p + 1) * per, n)
+        with span(f"sweep part {p + 1}/{parts} rows={hi - lo}"):
+            sub = find_overlaps(codes[lo:hi], coef=coef, mesh=mesh)
+        has = sub.succ >= 0
+        res.succ[lo:hi][has] = sub.succ[has] + np.int32(lo)
+        res.overlap[lo:hi][has] = sub.overlap[has]
+    with span("sweep cross-part repair"):
+        repair_links(codes, res, mesh=mesh, coef=coef)
+    return res
+
+
+def repair_links(codes: np.ndarray, res: OverlapResult, mesh=None,
+                 coef: float = 1.0) -> None:
     """Re-match the free suffix/prefix ends of a link set (in place).
 
     Runs a compacted sweep in which ONLY rows without a successor (suffix
@@ -1064,11 +1102,15 @@ def repair_links(codes: np.ndarray, res: OverlapResult, mesh=None) -> None:
     rows = np.nonzero(a_s | a_p)[0]
     if rows.size <= 1:
         return
-    sub = find_overlaps(codes[rows], coef=1.0, mesh=mesh,
-                        init_active=(a_s[rows], a_p[rows]))
-    new = sub.succ >= 0
-    res.succ[rows[new]] = rows[sub.succ[new]].astype(np.int32)
-    res.overlap[rows[new]] = sub.overlap[new]
+    # a repair set larger than the device table cap repairs in parts
+    # (cross-part misses stay free ends — a bounded greedy loss)
+    for lo in range(0, rows.size, _SWEEP_MAX_ROWS):
+        r = rows[lo : lo + _SWEEP_MAX_ROWS]
+        sub = find_overlaps(codes[r], coef=coef, mesh=mesh,
+                            init_active=(a_s[r], a_p[r]))
+        new = sub.succ >= 0
+        res.succ[r[new]] = r[sub.succ[new]].astype(np.int32)
+        res.overlap[r[new]] = sub.overlap[new]
 
 
 def divide_and_generate(codes: np.ndarray, coef: float, mesh=None):

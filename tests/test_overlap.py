@@ -113,3 +113,34 @@ def test_both_sides_overlapped_division():
     # most genome reads kept, most junk dropped
     assert keep[:1000].mean() > 0.6
     assert keep[1000:].mean() < 0.3
+
+
+def test_partitioned_sweep_matches_quality():
+    """Oversized inputs partition the sweep (parts + cross-part repair,
+    the 100M enablement). Forcing tiny parts must still produce a valid,
+    near-equally-linked overlap graph and an equivalent pseudogenome."""
+    import numpy as np
+    from pgrc_tpu.overlap import greedy_scs as g
+
+    rng = np.random.default_rng(11)
+    genome = rng.integers(0, 4, size=6000, dtype=np.uint8)
+    starts = rng.integers(0, genome.size - 60, size=1800)
+    codes = genome[starts[:, None] + np.arange(60)[None, :]].astype(np.uint8)
+
+    ref = g.find_overlaps(codes, coef=1.0)
+    old_host, old_max = g._HOST_SWEEP_MAX, g._SWEEP_MAX_ROWS
+    try:
+        g._HOST_SWEEP_MAX = 0
+        g._SWEEP_MAX_ROWS = 600          # force 3 parts
+        part = g.find_overlaps(codes, coef=1.0)
+    finally:
+        g._HOST_SWEEP_MAX, g._SWEEP_MAX_ROWS = old_host, old_max
+    # links are exact-verified inside find_overlaps; check coverage stays
+    # close to the global sweep (cross-part repair must recover most)
+    n_ref = int((ref.succ >= 0).sum())
+    n_part = int((part.succ >= 0).sum())
+    assert n_part >= 0.97 * n_ref, (n_part, n_ref)
+    # total overlap (pg-shortening power): parts of a THIRD the coverage
+    # lose some overlap length by construction (at the real 48M-row split
+    # threshold each part keeps high coverage); bound the loss
+    assert part.overlap.sum() >= 0.85 * ref.overlap.sum()
