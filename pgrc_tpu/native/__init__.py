@@ -21,7 +21,8 @@ _SOURCES = [os.path.join(_HERE, "rangecoder.cpp"),
             os.path.join(_HERE, "packcodes.cpp"),
             os.path.join(_HERE, "chainwalk.cpp"),
             os.path.join(_HERE, "decode.cpp"),
-            os.path.join(_HERE, "pgmatch.cpp")]
+            os.path.join(_HERE, "pgmatch.cpp"),
+            os.path.join(_HERE, "rans.cpp")]
 
 _lock = threading.Lock()
 _lib_handle = None
@@ -70,6 +71,14 @@ def get_lib():
         lib.rc_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+        ]
+        lib.rans_encode.restype = ctypes.c_int64
+        lib.rans_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.rans_decode.restype = ctypes.c_int64
+        lib.rans_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
         ]
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.cut_cycles.restype = ctypes.c_int64
@@ -293,6 +302,30 @@ def rc_encode(data: bytes, order: int, period: int, nsym: int) -> bytes | None:
     if n < 0:
         return None
     return out.raw[:n]
+
+
+def rans_encode(data: bytes) -> bytes | None:
+    """Static order-0 rANS encode (the FSE role); None without native."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + len(data) // 4 + 1024
+    out = ctypes.create_string_buffer(cap)
+    n = lib.rans_encode(data, len(data), out, cap)
+    if n < 0:
+        return None
+    return out.raw[:n]
+
+
+def rans_decode(data: bytes, count: int) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(max(count, 1))
+    n = lib.rans_decode(data, len(data), count, out)
+    if n < 0:
+        raise ValueError("malformed rANS stream")
+    return out.raw[:count]
 
 
 def pair_walk_decode(offs):

@@ -32,6 +32,7 @@ RANGE_O1 = 5
 VARLEN_DNA = 6
 RANGE_CTX = 7   # order-k context range coder: p1 = order, p2 = nsym (0 -> 256)
 BLOCKED = 8     # parallel-blocks wrapper: p1 = inner coder id, p2 = inner p1
+RANS = 9        # own static order-0 rANS (FSE/FiniteStateEntropy role)
 
 BLOCK_SIZE = 4 << 20  # bytes per parallel block (reference ParallelBlocksCoder >=1 MiB)
 
@@ -77,15 +78,51 @@ def lzma_decompress(data: bytes, level: int = LEVEL_NORMAL, period: int = 1,
 
 
 def zstd_compress(data: bytes, level: int = 19) -> bytes:
+    # no silent stand-in: a stream whose header says ZSTD must BE zstd
+    # (the selector simply skips unavailable coders; the own-rANS coder
+    # fills the FSE role everywhere)
     if _zstd is None:
-        return zlib.compress(data, 9)
+        raise RuntimeError("zstd not available")
     return _zstd.ZstdCompressor(level=level).compress(data)
 
 
 def zstd_decompress(data: bytes, raw_len: int) -> bytes:
     if _zstd is None:
-        return zlib.decompress(data)
+        raise RuntimeError("archive uses zstd streams but zstd is not "
+                           "available in this environment")
     return _zstd.ZstdDecompressor().decompress(data, max_output_size=max(raw_len, 1))
+
+
+def rans_compress(data: bytes) -> bytes:
+    from .. import native
+
+    fast = native.rans_encode(data)
+    if fast is not None:
+        return fast
+    from . import rans_py
+
+    return rans_py.encode(data)
+
+
+def rans_decompress(data: bytes, raw_len: int) -> bytes:
+    from .. import native
+
+    fast = native.rans_decode(data, raw_len)
+    if fast is not None:
+        return fast
+    from . import rans_py
+
+    return rans_py.decode(data, raw_len)
+
+
+def is_available(codec: "Codec") -> bool:
+    """Selector gate: only coders usable in THIS environment are probed
+    (a missing optional dependency must never silently change a stream's
+    identity)."""
+    cid = codec.coder_id
+    if cid == ZSTD or (cid == BLOCKED and codec.p1 == ZSTD):
+        return _zstd is not None
+    return True
 
 
 class Codec:
@@ -113,6 +150,8 @@ class Codec:
             return lzma_compress(data, self.p1, self.p2)
         if self.coder_id == ZSTD:
             return zstd_compress(data, self.p1 or 19)
+        if self.coder_id == RANS:
+            return rans_compress(data)
         if self.coder_id in (RANGE_O0, RANGE_O1):
             from . import rangecoder
 
@@ -161,6 +200,8 @@ class Codec:
             return lzma_decompress(data, self.p1, self.p2, raw_len)
         if self.coder_id == ZSTD:
             return zstd_decompress(data, raw_len)
+        if self.coder_id == RANS:
+            return rans_decompress(data, raw_len)
         if self.coder_id in (RANGE_O0, RANGE_O1):
             from . import rangecoder
 

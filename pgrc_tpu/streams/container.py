@@ -77,7 +77,10 @@ def _compress_one(job: CompressionJob) -> bytes:
     from ..utils import logchan
 
     t0 = time.monotonic()
-    candidates = [job.codec, *job.alternatives]
+    candidates = [c for c in [job.codec, *job.alternatives]
+                  if codecs.is_available(c)]
+    if not candidates:
+        candidates = [Codec(codecs.STORE)]
     if len(job.data) > 2 * codecs.BLOCK_SIZE:
         # big stream: swap single-shot LZMA/ZSTD for the parallel-blocks
         # wrapper (intra-stream thread parallelism, small ratio loss)

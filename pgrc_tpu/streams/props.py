@@ -31,6 +31,12 @@ def _zstd() -> Codec:
     return Codec(_Z, 19)
 
 
+def _rans() -> Codec:
+    # own static rANS (the FSE/FiniteStateEntropy role, reference
+    # coders/FSECoder.cpp) — always available, no optional dependency
+    return Codec(codecs.RANS)
+
+
 # kind -> (primary codec, selector alternatives)
 PROPS: dict[str, tuple[Codec, list[Codec]]] = {
     # hq reads-list streams (v1.3-style decomposition)
@@ -38,11 +44,11 @@ PROPS: dict[str, tuple[Codec, list[Codec]]] = {
     "hq_rc": (Codec(_RC, 2, 2), [Codec(_RC, 11, 2), _zstd()]),
     "hq_mis_zero_flags": (Codec(_RC, 2, 2),
                           [Codec(_RC, 6, 2), Codec(_RC, 11, 2), _zstd()]),
-    "hq_mis_cnt_values": (Codec(_RC, 1, 128), [_zstd()]),
+    "hq_mis_cnt_values": (Codec(_RC, 1, 128), [_zstd(), _rans()]),
     "hq_mis_sym": (Codec(_RC, 3, 4), [Codec(_RC, 6, 4), _zstd()]),
-    "hq_mis_off": (Codec(codecs.RANGE_O0), [_zstd(), _lzma(1)]),
+    "hq_mis_off": (Codec(codecs.RANGE_O0), [_zstd(), _rans(), _lzma(1)]),
     # lq/N pg reads-list position deltas
-    "pg_off": (_lzma(1), [_zstd()]),
+    "pg_off": (_lzma(1), [_zstd(), _rans()]),
     # order info (PE pair order, ORD positions)
     "pair_order": (_lzma(1), [_zstd()]),
     "pair_flags": (_lzma(1), [_zstd()]),

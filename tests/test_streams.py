@@ -189,3 +189,49 @@ def test_pe_ord_positions_narrow_roundtrip():
     order_enc.encode_positions_pe(buf, pos)
     back = order_enc.decode_positions_pe(StreamReader(buf.getvalue()), pos.size)
     assert np.array_equal(back, pos)
+
+
+def test_rans_roundtrip_and_native_python_compat():
+    """Own static rANS coder (FSE role): round-trips on varied
+    distributions, and the native C++ and pure-Python implementations
+    produce IDENTICAL streams (archives must not depend on a compiler)."""
+    import numpy as np
+    from pgrc_tpu import native
+    from pgrc_tpu.streams import codecs, rans_py
+
+    rng = np.random.default_rng(3)
+    cases = [
+        b"",
+        b"A",
+        b"A" * 10000,                                   # single symbol
+        bytes(rng.integers(0, 256, size=50000, dtype=np.uint8)),  # uniform
+        bytes(rng.choice([0, 1, 2, 3], p=[0.7, 0.2, 0.08, 0.02],
+                         size=100000).astype(np.uint8)),  # skewed DNA-ish
+        bytes(rng.integers(0, 4, size=257, dtype=np.uint8)),
+    ]
+    for data in cases:
+        py = rans_py.encode(data)
+        assert rans_py.decode(py, len(data)) == data
+        nat = native.rans_encode(data)
+        if nat is not None:
+            assert nat == py, "native and python rANS streams differ"
+            assert native.rans_decode(py, len(data)) == data
+        # through the codec layer
+        c = codecs.Codec(codecs.RANS)
+        out = c.compress(data)
+        assert c.decompress(out, len(data)) == data
+    # entropy sanity: the skewed stream must actually compress
+    skew = cases[4]
+    assert len(codecs.Codec(codecs.RANS).compress(skew)) < 0.3 * len(skew)
+
+
+def test_rans_malformed_fails_cleanly():
+    import pytest as _pytest
+
+    from pgrc_tpu.streams import rans_py
+
+    with _pytest.raises(ValueError):
+        rans_py.decode(b"\xff\xff" + b"\x00" * 10, 5)
+    ok = rans_py.encode(b"hello world" * 100)
+    with _pytest.raises(ValueError):
+        rans_py.decode(ok[: len(ok) // 2], 1100)
