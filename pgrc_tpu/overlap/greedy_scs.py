@@ -845,7 +845,18 @@ def find_overlaps(codes: np.ndarray, coef: float = 1.0, mesh=None,
         print(f"[trace] sweep segments n={n}: {_time.time() - seg_t0:.3f}s",
               flush=True)
     with span(f"sweep readback n={n}"):
-        succ_h, ovl_h = jax.device_get((succ_g, ovl_g))
+        if n_pad < (1 << 24) and L <= 255 and mesh is None:
+            # halve the readback bytes: (succ+1, ovl) pack into one u32
+            key = ("pk", n_pad)
+            if key not in _FN_CACHE:
+                _FN_CACHE[key] = jax.jit(
+                    lambda s, o: ((s + 1).astype(jnp.uint32) << jnp.uint32(8))
+                    | o.astype(jnp.uint32))
+            packed_so = jax.device_get(_FN_CACHE[key](succ_g, ovl_g))
+            succ_h = (packed_so >> np.uint32(8)).astype(np.int32) - 1
+            ovl_h = (packed_so & np.uint32(0xFF)).astype(np.int32)
+        else:
+            succ_h, ovl_h = jax.device_get((succ_g, ovl_g))
     res = OverlapResult(succ_h[:n].copy(), ovl_h[:n].copy(), L)
     with span("sweep verify_links"):
         _verify_links(res, codes)
