@@ -250,26 +250,34 @@ def main():
         if not os.path.exists(src_b):
             synth_fastq(src_b, n_big, read_len, n_big * read_len // 40, seed=9)
         out_b = os.path.join(tmpdir, "bench_big.pgtc")
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--big-row",
-             src_b, out_b], capture_output=True, text=True)
-        try:
-            big = json.loads(p.stdout.strip().splitlines()[-1])
-        except Exception:
-            return fail(f"{n_big}-read row subprocess failed: "
-                        f"{p.stderr[-300:]}")
-        if big.get("error"):
-            return fail(f"{n_big}-read row: {big['error']}")
+        big = {}
+        for phase in ("cold", "warm", "validate"):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--big-row",
+                 phase, src_b, out_b], capture_output=True, text=True)
+            try:
+                big[phase] = json.loads(p.stdout.strip().splitlines()[-1])
+            except Exception:
+                return fail(f"{n_big}-read {phase} subprocess failed: "
+                            f"{p.stderr[-300:]}")
+            if big[phase].get("error"):
+                return fail(f"{n_big}-read {phase}: {big[phase]['error']}")
         b_bases = n_big * read_len
         extra["big_reads"] = n_big
-        extra["big_mbases_s"] = round(b_bases / 1e6 / big["warm_s"], 3)
-        extra["big_cold_mbases_s"] = round(b_bases / 1e6 / big["cold_s"], 3)
-        extra["big_bits_per_base"] = big["bits_per_base"]
-        extra["big_peak_rss_mb"] = big["peak_rss_mb"]
-        # memory gate: the 10M encode must run in bounded memory
-        if big["peak_rss_mb"] > 6144:
-            return fail(f"{n_big}-read peak RSS {big['peak_rss_mb']} MB "
-                        f"exceeds 6 GB")
+        extra["big_mbases_s"] = round(b_bases / 1e6 / big["warm"]["wall_s"], 3)
+        extra["big_cold_mbases_s"] = round(
+            b_bases / 1e6 / big["cold"]["wall_s"], 3)
+        extra["big_bits_per_base"] = big["warm"]["bits_per_base"]
+        extra["big_peak_rss_mb"] = big["warm"]["peak_rss_mb"]
+        extra["big_validate_rss_mb"] = big["validate"]["peak_rss_mb"]
+        # memory gates: bounded-memory encode AND streaming validation
+        # (VERDICT r4 #2 and #5)
+        if big["warm"]["peak_rss_mb"] > 6144:
+            return fail(f"{n_big}-read peak RSS "
+                        f"{big['warm']['peak_rss_mb']} MB exceeds 6 GB")
+        if big["validate"]["peak_rss_mb"] > 2048:
+            return fail(f"{n_big}-read validate RSS "
+                        f"{big['validate']['peak_rss_mb']} MB exceeds 2 GB")
         # scaling gate vs the 200k row measured in the SAME bench run —
         # self-normalizes the tunneled device's mood swings
         if extra["big_mbases_s"] < 0.6 * mbases_s:
@@ -316,26 +324,32 @@ def main():
     return 0
 
 
-def big_row(src_b: str, out_b: str) -> int:
-    """Child process for the gated big row: cold + warm encode + streaming
-    validate, reporting ITS OWN peak RSS as one JSON line."""
-    from pgrc_tpu.archive import decoder, encoder
-    from pgrc_tpu.config import PgRCParams
-
+def big_row(phase: str, src_b: str, out_b: str) -> int:
+    """Child process for one phase of the gated big row ('cold'/'warm'
+    encode or 'validate'), reporting ITS OWN wall time + peak RSS as one
+    JSON line — each phase gets clean memory accounting."""
     try:
-        _, cold = _encode(encoder, PgRCParams, src_b, out_b)
-        bstats, warm = _encode(encoder, PgRCParams, src_b, out_b)
-        rss = round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
-        rep = decoder.validate(out_b, src_b)
-        if rep["errors"]:
-            print(json.dumps({"error": "round-trip failed"}))
-            return 1
-        b_bases = bstats.reads_total * bstats.read_len
-        print(json.dumps({
-            "cold_s": round(cold, 1), "warm_s": round(warm, 1),
-            "bits_per_base": round(bstats.archive_bytes * 8 / b_bases, 4),
-            "peak_rss_mb": rss,
-        }))
+        t0 = time.time()
+        res = {}
+        if phase in ("cold", "warm"):
+            from pgrc_tpu.archive import encoder
+            from pgrc_tpu.config import PgRCParams
+
+            bstats, wall = _encode(encoder, PgRCParams, src_b, out_b)
+            b_bases = bstats.reads_total * bstats.read_len
+            res["bits_per_base"] = round(bstats.archive_bytes * 8 / b_bases, 4)
+            res["wall_s"] = round(wall, 1)
+        else:
+            from pgrc_tpu.archive import decoder
+
+            rep = decoder.validate(out_b, src_b)
+            if rep["errors"]:
+                print(json.dumps({"error": "round-trip failed"}))
+                return 1
+            res["wall_s"] = round(time.time() - t0, 1)
+        res["peak_rss_mb"] = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1)
+        print(json.dumps(res))
         return 0
     except Exception as e:  # surfaced as a bench failure by the parent
         print(json.dumps({"error": f"{type(e).__name__}: {e}"}))
@@ -343,6 +357,6 @@ def big_row(src_b: str, out_b: str) -> int:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 4 and sys.argv[1] == "--big-row":
-        sys.exit(big_row(sys.argv[2], sys.argv[3]))
+    if len(sys.argv) == 5 and sys.argv[1] == "--big-row":
+        sys.exit(big_row(sys.argv[2], sys.argv[3], sys.argv[4]))
     sys.exit(main())
