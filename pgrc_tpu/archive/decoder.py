@@ -447,7 +447,14 @@ class _LineHasher:
         self._pows1 = _fp_pows(512, _FP_B)
         self._pows2 = _fp_pows(512, _FP_B2)
 
+    _BLOCK = 1 << 16  # lines per hash block: bounds the [B, L] u64 temps
+
     def feed(self, data: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+        for lo in range(0, starts.size, self._BLOCK):
+            self._feed_block(data, starts[lo : lo + self._BLOCK],
+                             ends[lo : lo + self._BLOCK])
+
+    def _feed_block(self, data, starts, ends):
         if starts.size == 0:
             return
         lw = int((ends - starts).max())
